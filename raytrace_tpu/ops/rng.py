@@ -1,0 +1,98 @@
+"""Counter-based, sharding-invariant RNG for the wavefront renderer.
+
+TPU-native replacement of the reference's sequential ``XorShiftRng`` stream
+(types.rs:27, seeded at main.rs:43).  A sequential stream is the single
+worst primitive for a data-parallel renderer: every sample would depend on
+every previous draw.  Instead, every random number is a *pure function of
+its identity*: ``u = U(seed; pixel_id, sample_id, depth, purpose, lane)``.
+
+Consequences (all by construction):
+
+* reproducible: one integer seed reproduces the whole render;
+* order-independent: bounce loop order / tiling do not change any draw;
+* sharding-invariant: a tile-sharded ``shard_map`` render produces
+  bit-identical images to the single-device render, because draws depend
+  on global pixel ids carried with each ray, never on array position;
+* zero cross-lane communication.
+
+Exact bitwise parity with the reference's time-seeded XorShift stream is
+impossible by design (the reference itself is not reproducible run-to-run,
+main.rs:43); only statistical parity with out.bmp is meaningful
+(SURVEY.md §4).
+
+Two backends:
+
+* ``mix`` (default): 2-round splitmix32-style integer mixer.  Pure uint32
+  VPU arithmetic, extremely cheap, quality far above the reference's
+  XorShift for Monte-Carlo purposes.
+* ``threefry``: jax.random (threefry2x32) via per-lane fold-in.  Slower;
+  used as a statistical cross-check in tests.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Purpose ids — one independent stream family per use site.
+PURPOSE_AA_X = 0       # main.rs:51 jitter
+PURPOSE_AA_Y = 1       # main.rs:52 jitter
+PURPOSE_LENS_THETA = 2  # camera.rs:115
+PURPOSE_LENS_R = 3      # camera.rs:117
+PURPOSE_LIGHT_U = 4     # scene.rs:153 (area light, first draw)
+PURPOSE_LIGHT_V = 5     # scene.rs:153 (area light, second draw)
+PURPOSE_INDIRECT_R1 = 6  # raytrace.rs:101
+PURPOSE_INDIRECT_R2 = 7  # raytrace.rs:102
+
+_GAMMA = jnp.uint32(0x9E3779B9)  # golden-ratio increment
+
+
+def _mix32(x: jnp.ndarray) -> jnp.ndarray:
+    """splitmix32 finalizer: a high-quality 32-bit bijective mixer."""
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def hash_words(seed: int | jnp.ndarray, *words: jnp.ndarray) -> jnp.ndarray:
+    """Hash integer identity words into uniform random uint32 bits.
+
+    ``words`` broadcast against each other; each is absorbed with a
+    distinct golden-ratio offset then mixed, sponge-style.
+    """
+    h = jnp.uint32(seed) ^ jnp.uint32(0x243F6A88)  # pi fractional bits
+    for i, w in enumerate(words):
+        h = _mix32(h + w.astype(jnp.uint32) + _GAMMA * jnp.uint32(2 * i + 1))
+    return _mix32(h)
+
+
+def uniform_from_bits(bits: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Map uint32 bits to uniforms in [0, 1)."""
+    if jnp.dtype(dtype) == jnp.float64:
+        hi = (bits >> jnp.uint32(6)).astype(jnp.float64)  # 26 bits
+        lo = _mix32(bits + _GAMMA) >> jnp.uint32(5)       # 27 bits
+        return (hi * (1 << 27) + lo.astype(jnp.float64)) * (2.0 ** -53)
+    return (bits >> jnp.uint32(8)).astype(dtype) * jnp.asarray(2.0 ** -24, dtype)
+
+
+def u01(seed, *words, dtype=jnp.float32, backend: str = "mix") -> jnp.ndarray:
+    """Uniform [0, 1) draw identified by ``words`` (counter-based)."""
+    if backend == "threefry":
+        return _u01_threefry(seed, *words, dtype=dtype)
+    return uniform_from_bits(hash_words(seed, *words), dtype)
+
+
+def _u01_threefry(seed, *words, dtype=jnp.float32) -> jnp.ndarray:
+    key = jax.random.key(seed) if isinstance(seed, int) else seed
+    ws = jnp.broadcast_arrays(*[w.astype(jnp.uint32) for w in words])
+    flat = [w.reshape(-1) for w in ws]
+
+    def one(*scalars):
+        k = key
+        for s in scalars:
+            k = jax.random.fold_in(k, s)
+        return jax.random.uniform(k, dtype=dtype)
+
+    out = jax.vmap(one)(*flat)
+    return out.reshape(ws[0].shape)

@@ -1,0 +1,29 @@
+"""Test configuration: force a deterministic 8-virtual-device CPU backend.
+
+Sharding tests run on a simulated 8-device mesh
+(``--xla_force_host_platform_device_count=8``, SURVEY.md §4) so that
+``shard_map`` correctness is validated without real multi-chip hardware.
+
+Note: the environment may pre-register a TPU PJRT plugin at interpreter
+startup and pin ``jax_platforms`` via ``jax.config.update`` (which takes
+precedence over the JAX_PLATFORMS env var), so we must override through
+``jax.config`` too — env vars alone are not enough.  XLA_FLAGS must still
+be set before the CPU backend is first initialized.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)  # f64 available for parity tests
+
+assert jax.default_backend() == "cpu", (
+    "tests must run on the virtual CPU mesh, got " + jax.default_backend())
+assert jax.device_count() == 8
