@@ -1,0 +1,215 @@
+"""Material shading: batched, branch-free re-design of the four
+``Material::color`` impls (raytrace.rs:30-226).
+
+The reference shades one hit at a time through a trait object and
+recurses into ``ray_color`` for reflection / refraction / Monte-Carlo
+indirect bounces.  Here one call shades a whole wavefront level: material
+polymorphism is a per-lane integer type id + masked selects over the
+padded material table, and recursion becomes *child slot emission* — each
+lane produces up to B = has_reflect + has_refract + n_indirect child rays
+with per-child throughput weights, consumed by the iterative wavefront
+loop in :mod:`raytrace_tpu.render.integrator`.
+
+Semantics preserved exactly (per material, with citations):
+
+* normal flipped toward the viewer (raytrace.rs:38,77,130,176);
+* significance gates ``diffuse.significance()*sig > 1/512`` etc.
+  (raytrace.rs:35-36,74-75,137-138,193);
+* Lambertian ``diffuse*Lc*max(0,l.n)/pi`` and Blinn-ish specular
+  ``spec*Lc*max(0, n.normalize(l-d))^exp`` (raytrace.rs:52,55);
+* shadow rays offset 1e-5 along the light direction, blocked iff the
+  closest hit satisfies ``t^2 < r^2`` (range-free lights: any hit)
+  (raytrace.rs:43-50);
+* Schlick fresnel ``clamp1(r0 + (1-r0)(1-cos)^5)`` with the *Fresnel*
+  material using ``1-|n.d|`` (raytrace.rs:132-136) and the *Transparent*
+  material using the refracted-ray cosine on exit (raytrace.rs:187-192);
+* Snell refraction with ``n = ior`` when exiting / ``1/ior`` entering,
+  total internal reflection when ``sin^2 >= 1`` (raytrace.rs:177-186);
+* mirror reflection ``d - 2(d.n)n`` with un-normalized child direction
+  (raytrace.rs:60-61); refracted child direction normalized
+  (raytrace.rs:219);
+* MC hemisphere sampling with the reference's exact (quirky)
+  distribution: ``r1 ~ U[-1,1)``, ``phi ~ U[0,2pi)``,
+  ``dir = ((1-r1^2)cos(phi), r1, (1-r1^2)sin(phi))`` — un-normalized,
+  non-cosine-weighted — flipped into the normal hemisphere, weighted
+  ``diffuse * (n.dir) / (samples * 0.5)``, child significance passed
+  **unattenuated** (raytrace.rs:99-117);
+* every secondary ray origin offset ``1e-5`` along its direction.
+
+Documented divergence: the reference's indirect *specular* term uses the
+shadowing inner ``ray`` binding, so ``dir - ray.direction == 0`` and
+``normalize(0) = NaN`` whenever an IndirectPhongMaterial has nonzero
+specular (raytrace.rs:108,115 — latent NaN, SURVEY.md §2 #10).  Here that
+term contributes 0 instead of NaN, and spec-only indirect children are
+culled (their reference contribution is all-NaN).  A second measure-zero
+guard: ``normalize(ldir - d)`` returns 0 instead of NaN when
+``ldir == d`` exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from raytrace_tpu.models.lights import light_dir_and_sq_range
+from raytrace_tpu.ops import rng
+from raytrace_tpu.ops.intersect import Hit, occluded
+from raytrace_tpu.scene.schema import (
+    MAT_FRESNEL, MAT_INDIRECT_PHONG, MAT_PHONG, MAT_TRANSPARENT,
+    SceneData, SceneSpec)
+
+_OFFSET = 1e-5  # secondary-ray origin offset (raytrace.rs:43,62,108,211,220)
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _clamp0(x):
+    return jnp.maximum(x, 0.0)
+
+
+def _clamp1(x):
+    return jnp.minimum(x, 1.0)
+
+
+def _safe_unit(v):
+    """normalize() with a zero-vector guard (divergence note above)."""
+    sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    return jnp.where(sq > 0, v / jnp.sqrt(jnp.where(sq > 0, sq, 1.0)), 0.0)
+
+
+class Child:
+    """One child-slot emission: a masked batch of secondary rays."""
+
+    def __init__(self, ro, rd, sig, weight, live, slot):
+        self.ro = ro          # (N,3) origin
+        self.rd = rd          # (N,3) direction (reference normalization)
+        self.sig = sig        # (N,)  significance for the child
+        self.weight = weight  # (N,3) contribution weight (throughput factor)
+        self.live = live      # (N,)  bool: slot active for this lane
+        self.slot = slot      # static slot index (RNG stream derivation)
+
+
+def shade(data: SceneData, spec: SceneSpec, ro, rd, hit: Hit,
+          sig, live, k1, k2, depth: int):
+    """Shade one wavefront level.
+
+    Returns ``(emit (N,3), children: list[Child])`` where ``emit`` is the
+    *local* radiance of each lane (ambient + direct lighting; background
+    for miss lanes is handled by the integrator) and ``children`` are the
+    secondary-ray slots (empty at the final level).
+    """
+    dtype = ro.dtype
+    obj = hit.obj
+    mt = jnp.asarray(np.asarray(spec.mat_type, np.int32))[obj]     # (N,)
+    diffuse = data.mat_diffuse[obj]
+    specular = data.mat_specular[obj]
+    exponent = data.mat_exponent[obj]
+    ambient = data.mat_ambient[obj]
+    ior = data.mat_ior[obj]
+    msamples = data.mat_samples[obj]
+
+    is_fresnel = mt == MAT_FRESNEL
+    is_transp = mt == MAT_TRANSPARENT
+    is_indirect = mt == MAT_INDIRECT_PHONG
+
+    t_safe = jnp.where(hit.hit, hit.t, 0.0)
+    pt = ro + rd * t_safe[..., None]
+    nd = _dot(hit.normal, rd)                 # raw-normal cosine (unflipped)
+    n_f = jnp.where((nd > 0)[..., None], -hit.normal, hit.normal)
+
+    # ---- fresnel / refraction block (raytrace.rs:128-136, 174-192) ----
+    r0 = ((ior - 1.0) / (ior + 1.0)) ** 2
+    # Transparent: Snell + TIR
+    n_ratio = jnp.where(nd > 0, ior, 1.0 / ior)
+    sin2 = n_ratio * n_ratio * (1.0 - nd * nd)
+    refract_ok = sin2 < 1.0
+    cos_t = jnp.sqrt(_clamp0(jnp.where(refract_ok, 1.0 - sin2, 0.0)))
+    refr = (rd * n_ratio[..., None]
+            - n_f * (n_ratio * jnp.abs(nd) + cos_t)[..., None])  # un-normalized
+    omcos_transp = jnp.where(
+        nd > 0,
+        jnp.where(refract_ok, 1.0 - _dot(n_f, refr), 0.0),
+        1.0 - jnp.abs(nd))
+    omcos = jnp.where(is_fresnel, 1.0 - jnp.abs(nd), omcos_transp)
+    omcos2 = omcos * omcos
+    schlick = _clamp1(r0 + (1.0 - r0) * omcos2 * omcos2 * omcos)
+    fresnel = jnp.where(is_transp & ~refract_ok, 1.0, schlick)
+    fres_mult = jnp.where(is_fresnel | is_transp, fresnel,
+                          jnp.ones_like(fresnel))
+
+    # ---- significance gates ----
+    diff_sig = jnp.sum(diffuse, axis=-1)
+    spec_sig = jnp.sum(specular, axis=-1)
+    ms = spec.min_significance
+    diffuse_gate = (diff_sig * sig > ms) & ~is_transp
+    spec_gate = spec_sig * fres_mult * sig > ms
+
+    emit = ambient  # Transparent's ambient is all-zero by construction
+
+    if depth <= spec.max_depth:
+        # ---- direct lighting (static loop over lights) ----
+        shaded = live & hit.hit
+        for li, lt in enumerate(spec.light_type):
+            ldir, sqr, has_range = light_dir_and_sq_range(
+                data, lt, li, pt, k1, k2)
+            blocked = occluded(data, spec, pt + ldir * _OFFSET, ldir,
+                               sqr, has_range)
+            vis = shaded & ~blocked
+            lcol = data.light_color[li]
+            lam = _clamp0(_dot(ldir, n_f)) * jnp.asarray(1.0 / jnp.pi, dtype)
+            emit = emit + jnp.where(
+                (vis & diffuse_gate)[..., None],
+                diffuse * lcol * lam[..., None], 0.0)
+            half = _safe_unit(ldir - rd)
+            ph = _clamp0(_dot(n_f, half)) ** exponent
+            emit = emit + jnp.where(
+                (vis & spec_gate)[..., None],
+                specular * lcol * (ph * fres_mult)[..., None], 0.0)
+
+        # ---- child slots ----
+        children: list[Child] = []
+        slot = 0
+        can_spawn = live & hit.hit
+        if spec.has_reflect:
+            rdir = rd - n_f * (2.0 * _dot(rd, n_f))[..., None]
+            gate = can_spawn & spec_gate & ~is_indirect
+            children.append(Child(
+                ro=pt + rdir * _OFFSET, rd=rdir,
+                sig=sig * spec_sig * fres_mult,
+                weight=specular * fres_mult[..., None],
+                live=gate, slot=slot))
+            slot += 1
+        if spec.has_refract:
+            gate = can_spawn & is_transp & (fresnel < 1.0) & refract_ok
+            omf = _clamp1(1.0 - fresnel)
+            rdir = _safe_unit(refr)
+            children.append(Child(
+                ro=pt + rdir * _OFFSET, rd=rdir,
+                sig=omf * sig,
+                weight=jnp.broadcast_to(omf[..., None], specular.shape),
+                live=gate, slot=slot))
+            slot += 1
+        for k in range(spec.n_indirect):
+            r1 = rng.draw(k1, k2, rng.PURPOSE_INDIRECT_R1 + 2 * k,
+                          dtype) * 2.0 - 1.0
+            phi = rng.draw(k1, k2, rng.PURPOSE_INDIRECT_R2 + 2 * k,
+                           dtype) * (2.0 * jnp.pi)
+            s = 1.0 - r1 * r1
+            d = jnp.stack([s * jnp.cos(phi), r1, s * jnp.sin(phi)], axis=-1)
+            d = jnp.where((_dot(d, n_f) >= 0)[..., None], d, -d)
+            fac = msamples * 0.5
+            w = diffuse * (_dot(n_f, d) / jnp.where(fac > 0, fac, 1.0)
+                           )[..., None]
+            gate = (can_spawn & is_indirect & (diffuse_gate | spec_gate)
+                    & (k < msamples) & diffuse_gate)
+            children.append(Child(
+                ro=pt + d * _OFFSET, rd=d,
+                sig=sig,                      # unattenuated (raytrace.rs:109)
+                weight=w, live=gate, slot=slot))
+            slot += 1
+        return emit, children
+
+    # depth > MAX_DEPTH: ambient only, no recursion (raytrace.rs:33)
+    return emit, []

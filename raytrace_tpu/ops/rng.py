@@ -39,10 +39,12 @@ PURPOSE_AA_X = 0       # main.rs:51 jitter
 PURPOSE_AA_Y = 1       # main.rs:52 jitter
 PURPOSE_LENS_THETA = 2  # camera.rs:115
 PURPOSE_LENS_R = 3      # camera.rs:117
-PURPOSE_LIGHT_U = 4     # scene.rs:153 (area light, first draw)
-PURPOSE_LIGHT_V = 5     # scene.rs:153 (area light, second draw)
-PURPOSE_INDIRECT_R1 = 6  # raytrace.rs:101
-PURPOSE_INDIRECT_R2 = 7  # raytrace.rs:102
+# Per-light purposes occupy [64, 64 + 2L); per-indirect-sample purposes
+# occupy [1 << 16, ...) so the ranges can never collide for any scene.
+PURPOSE_LIGHT_U = 64     # scene.rs:153 (area light, first draw)
+PURPOSE_LIGHT_V = 65     # scene.rs:153 (area light, second draw)
+PURPOSE_INDIRECT_R1 = 1 << 16  # raytrace.rs:101
+PURPOSE_INDIRECT_R2 = (1 << 16) + 1  # raytrace.rs:102
 
 _GAMMA = jnp.uint32(0x9E3779B9)  # golden-ratio increment
 
@@ -81,6 +83,35 @@ def u01(seed, *words, dtype=jnp.float32, backend: str = "mix") -> jnp.ndarray:
     if backend == "threefry":
         return _u01_threefry(seed, *words, dtype=dtype)
     return uniform_from_bits(hash_words(seed, *words), dtype)
+
+
+_GAMMA2 = jnp.uint32(0xBB67AE85)  # sqrt(3) fractional bits
+
+
+def make_keys(seed: int, *words: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Derive a 64-bit-per-lane stream identity (two uint32 words) from
+    integer identity words (e.g. pixel id, sample id).
+
+    Two independently-salted sponges give an effective 64-bit node id so
+    that stream collisions are negligible even at billions of wavefront
+    nodes (a single 32-bit id would collide constantly at 655M primary
+    samples/frame, BASELINE.md)."""
+    k1 = hash_words(jnp.uint32(seed) ^ jnp.uint32(0x243F6A88), *words)
+    k2 = hash_words(jnp.uint32(seed) ^ jnp.uint32(0x85A308D3), *words)
+    return k1, k2
+
+
+def derive(k1: jnp.ndarray, k2: jnp.ndarray, slot: int):
+    """Child-stream derivation for wavefront branching: each child slot
+    (reflect / refract / indirect sample k) gets an independent stream."""
+    s = jnp.uint32(slot + 1)
+    return (_mix32(k1 + _GAMMA * s), _mix32(k2 ^ (_GAMMA2 * s)))
+
+
+def draw(k1: jnp.ndarray, k2: jnp.ndarray, purpose: int, dtype) -> jnp.ndarray:
+    """One uniform [0,1) draw from stream (k1,k2) for a static purpose id."""
+    bits = _mix32(k1 ^ _mix32(k2 + _GAMMA * jnp.uint32(purpose + 1)))
+    return uniform_from_bits(bits, dtype)
 
 
 def _u01_threefry(seed, *words, dtype=jnp.float32) -> jnp.ndarray:

@@ -1,0 +1,177 @@
+"""Wavefront integrator: the TPU-native re-design of the recursive core
+``ray_color`` / ``raytrace`` (raytrace.rs:261-276) and the driver pixel
+loop (main.rs:45-59).
+
+The reference recurses per ray with data-dependent branching.  XLA wants
+one traced program with static shapes, so recursion becomes a statically
+unrolled *level loop* (SURVEY.md §7): level ``d`` holds all rays at
+recursion depth ``d`` — ``N * B^d`` lanes where ``B`` is the static
+branching factor (reflect + refract + n_indirect slots derived from the
+material set actually in the scene).  Each level does one batched
+closest-hit query, one batched shade, accumulates ``throughput * emit``
+into the per-primary-sample radiance, and emits the next level's rays.
+Significance/depth pruning (raytrace.rs:17-18) becomes lane masking, and
+the whole loop is differentiable: ``jax.grad`` of any function of the
+returned radiance flows into every SceneData leaf.
+
+Radiance decomposition note: the reference computes
+``res = local + Σ_child weight_child * ray_color(child)`` bottom-up; by
+linearity this equals the top-down sum over all tree nodes of
+``(Π ancestors' weights) * local``, which is what the level loop
+accumulates — no recursion stack needed.
+
+Levels run ``0 ‥ max_depth+1`` inclusive: depths 0‥4 shade fully and
+spawn, depth 5 is intersected then shaded ambient/background-only
+(raytrace.rs:18,33 semantics ⇒ 6 intersection rounds per primary sample,
+matching BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from raytrace_tpu.models.backgrounds import background_color
+from raytrace_tpu.models.cameras import project
+from raytrace_tpu.models.materials import shade
+from raytrace_tpu.ops import rng
+from raytrace_tpu.ops.intersect import intersect
+from raytrace_tpu.scene.schema import Scene, SceneData, SceneSpec
+
+
+def radiance(data: SceneData, spec: SceneSpec, ro, rd, k1, k2,
+             significance=None) -> jnp.ndarray:
+    """Radiance for a batch of primary rays — ``ray_color`` for a
+    wavefront (raytrace.rs:261-267).
+
+    ro/rd: (N,3) primary rays; k1/k2: (N,) per-lane RNG streams;
+    significance: initial per-ray significance (default 1.0,
+    main.rs:54).  Returns (N,3) linear radiance.
+    """
+    n = ro.shape[0]
+    dtype = ro.dtype
+    sig = (jnp.ones(n, dtype) if significance is None
+           else jnp.broadcast_to(significance, (n,)).astype(dtype))
+    live = jnp.ones(n, bool)
+    tp = jnp.ones((n, 3), dtype)
+    acc = jnp.zeros((n, 3), dtype)
+
+    for depth in range(spec.max_depth + 2):
+        hit = intersect(data, spec, ro, rd)
+        emit, children = shade(data, spec, ro, rd, hit, sig, live, k1, k2,
+                               depth)
+        bg = background_color(data, spec, rd)
+        local = jnp.where(hit.hit[..., None], emit, bg)
+        contrib = jnp.where(live[..., None], tp * local, 0.0)
+        acc = acc + contrib.reshape(n, -1, 3).sum(axis=1)
+
+        if not children:
+            break
+        # flatten child slots: (N_level, B, ...) -> (N_level * B, ...)
+        ro = jnp.stack([c.ro for c in children], 1).reshape(-1, 3)
+        rd = jnp.stack([c.rd for c in children], 1).reshape(-1, 3)
+        sig = jnp.stack([c.sig for c in children], 1).reshape(-1)
+        live = jnp.stack([c.live for c in children], 1).reshape(-1)
+        tp = jnp.stack([tp * c.weight for c in children], 1).reshape(-1, 3)
+        tp = jnp.where(live[..., None], tp, 0.0)
+        ks = [rng.derive(k1, k2, c.slot) for c in children]
+        k1 = jnp.stack([k[0] for k in ks], 1).reshape(-1)
+        k2 = jnp.stack([k[1] for k in ks], 1).reshape(-1)
+
+    return acc
+
+
+def sample_pixels(data: SceneData, spec: SceneSpec, px, py, sample_ids,
+                  seed: int) -> jnp.ndarray:
+    """Render a set of samples for a batch of pixels — the TPU-native
+    driver loop body (main.rs:45-55 × raytrace.rs:270-276).
+
+    px/py: (P,) integer pixel coordinates (x from the left, y from the
+    *bottom*, matching the BMP bottom-up row order the reference streams,
+    main.rs:45-58); sample_ids: (S,) integer antialias sample indices in
+    [0, antialias).  Returns the (P, 3) *mean* radiance over the S
+    samples and the camera's lens samples.
+
+    The AA jitter is drawn per (pixel, aa-sample) (main.rs:50-53); the
+    camera's own ``samples()`` lens loop (raytrace.rs:272-275) adds an
+    inner axis of ``spec.cam_samples`` lens draws per AA sample.
+    """
+    dtype = data.prim_p.dtype
+    p, s = px.shape[0], sample_ids.shape[0]
+    c = spec.cam_samples
+
+    # lane axis = (pixel, aa_sample, cam_sample), flattened
+    pix = jnp.repeat(px, s * c)
+    piy = jnp.repeat(py, s * c)
+    aa = jnp.tile(jnp.repeat(sample_ids, c), p)
+    cam = jnp.tile(jnp.arange(c, dtype=jnp.uint32), p * s)
+
+    # jitter streams keyed by (x, y, aa) only — shared across lens samples
+    jk1, jk2 = rng.make_keys(seed, pix.astype(jnp.uint32),
+                             piy.astype(jnp.uint32), aa.astype(jnp.uint32))
+    u = rng.draw(jk1, jk2, rng.PURPOSE_AA_X, dtype)
+    v = rng.draw(jk1, jk2, rng.PURPOSE_AA_Y, dtype)
+
+    # NDC transform (main.rs:39-53): unit square inscribed in the image
+    halfw = spec.width / 2.0
+    halfh = spec.height / 2.0
+    scale = max(1.0 / halfw, 1.0 / halfh)
+    pos_x = ((pix.astype(dtype) + u) - halfw) * scale
+    pos_y = ((piy.astype(dtype) + v) - halfh) * scale
+
+    # full per-lane streams fold in the lens sample index
+    k1, k2 = rng.make_keys(seed, pix.astype(jnp.uint32),
+                           piy.astype(jnp.uint32), aa.astype(jnp.uint32),
+                           cam)
+    ro, rd = project(data, spec, pos_x, pos_y, k1, k2)
+    rad = radiance(data, spec, ro, rd, k1, k2)
+    return rad.reshape(p, s * c, 3).mean(axis=1)
+
+
+@partial(jax.jit, static_argnames=("spec", "seed", "width_tiles"))
+def _render_tile(data, spec, px, py, sample_ids, seed, width_tiles=None):
+    del width_tiles
+    return sample_pixels(data, spec, px, py, sample_ids, seed)
+
+
+def render_image(scene: Scene, *, seed: int = 0, spp: int | None = None,
+                 max_lanes: int = 1 << 22, progress=None) -> np.ndarray:
+    """Render the full image: host tiling loop around the jitted
+    per-tile sampler.  Returns an (H, W, 3) float array of linear
+    radiance, row 0 = *bottom* row (BMP order).
+
+    ``spp`` overrides the scene's antialias count.  ``max_lanes`` bounds
+    device memory: pixels x samples per launch is chosen so that the
+    wavefront's widest level (N * B^(max_depth+1)) stays under it.
+    """
+    data, spec = scene.data, scene.spec
+    w, h = spec.width, spec.height
+    aa = spp if spp is not None else max(spec.antialias, 1)
+
+    b = max(spec.children_per_ray, 1)
+    widest = b ** (spec.max_depth + 1)
+    lane_budget = max(max_lanes // (widest * spec.cam_samples), 1)
+
+    # choose samples-per-launch and pixels-per-launch
+    s_launch = min(aa, max(lane_budget // 256, 1))
+    p_launch = max(lane_budget // s_launch, 1)
+
+    image = np.zeros((h * w, 3), np.float64)
+    pix = np.arange(h * w, dtype=np.uint32)
+    px_all = pix % w
+    py_all = pix // w
+
+    for s0 in range(0, aa, s_launch):
+        sids = jnp.arange(s0, min(s0 + s_launch, aa), dtype=jnp.uint32)
+        s_weight = len(sids) / aa
+        for p0 in range(0, h * w, p_launch):
+            sl = slice(p0, min(p0 + p_launch, h * w))
+            out = _render_tile(data, spec, jnp.asarray(px_all[sl]),
+                               jnp.asarray(py_all[sl]), sids, seed)
+            image[sl] += np.asarray(out, np.float64) * s_weight
+            if progress is not None:
+                progress(s0 + len(sids), aa, sl.stop, h * w)
+    return image.reshape(h, w, 3)
