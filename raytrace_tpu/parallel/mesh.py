@@ -1,0 +1,37 @@
+"""Device mesh construction.
+
+One logical axis family for this workload (SURVEY.md §5.7-5.8):
+
+* ``"d"`` — the ray/pixel data axis, sharded over every device.  When
+  spanning multiple slices/hosts, build a 2-level ``("dcn", "ici")`` mesh
+  so XLA keeps the heavy collectives on ICI.
+* ``"p"`` — optional primitive axis for ring-sharded intersection of
+  huge scenes (parallel/ring.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+
+def make_mesh(devices=None, axis_name: str = "d") -> Mesh:
+    """Flat 1-D mesh over all (or the given) devices."""
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_mesh_2d(n_dcn: int | None = None, devices=None) -> Mesh:
+    """Two-level ("dcn", "ici") mesh: outer axis across process groups
+    (slices / hosts), inner axis across the chips of each group.
+
+    With a single process, ``n_dcn`` defaults to 1 (all devices on ICI).
+    """
+    devices = jax.devices() if devices is None else devices
+    if n_dcn is None:
+        n_dcn = max(getattr(jax, "process_count", lambda: 1)(), 1)
+    n = len(devices)
+    assert n % n_dcn == 0, (n, n_dcn)
+    arr = np.asarray(devices).reshape(n_dcn, n // n_dcn)
+    return Mesh(arr, ("dcn", "ici"))

@@ -28,6 +28,7 @@ matching BASELINE.md).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -131,47 +132,85 @@ def sample_pixels(data: SceneData, spec: SceneSpec, px, py, sample_ids,
     return rad.reshape(p, s * c, 3).mean(axis=1)
 
 
-@partial(jax.jit, static_argnames=("spec", "seed", "width_tiles"))
-def _render_tile(data, spec, px, py, sample_ids, seed, width_tiles=None):
-    del width_tiles
+@partial(jax.jit, static_argnames=("spec", "seed"))
+def _render_tile(data, spec, px, py, sample_ids, seed):
     return sample_pixels(data, spec, px, py, sample_ids, seed)
 
 
-def render_image(scene: Scene, *, seed: int = 0, spp: int | None = None,
-                 max_lanes: int = 1 << 22, progress=None) -> np.ndarray:
-    """Render the full image: host tiling loop around the jitted
-    per-tile sampler.  Returns an (H, W, 3) float array of linear
-    radiance, row 0 = *bottom* row (BMP order).
+def _s_p_launch(spec: SceneSpec, aa: int, max_lanes: int):
+    """Pick (samples, pixels) per launch so the wavefront's widest level
+    (N * B^(max_depth+1) lanes) stays within the device lane budget."""
+    b = max(spec.children_per_ray, 1)
+    widest = b ** (spec.max_depth + 1)
+    lane_budget = max(max_lanes // (widest * spec.cam_samples), 1)
+    s_launch = min(aa, max(lane_budget // 256, 1))
+    p_launch = max(lane_budget // s_launch, 1)
+    return s_launch, p_launch
 
-    ``spp`` overrides the scene's antialias count.  ``max_lanes`` bounds
-    device memory: pixels x samples per launch is chosen so that the
-    wavefront's widest level (N * B^(max_depth+1)) stays under it.
+
+def _image_loop(scene: Scene, launch, *, seed: int, spp: int | None,
+                max_lanes: int, progress, checkpoint: str | None
+                ) -> np.ndarray:
+    """Host tiling loop shared by single-device and sharded rendering.
+
+    Outer loop over AA-sample chunks, inner loop over pixel tiles; the
+    f64 host accumulator is checkpointed to ``checkpoint`` (npz) after
+    every completed sample chunk, so a killed long render resumes at the
+    last chunk boundary — the TPU-native analog of the reference's
+    valid-prefix row streaming (main.rs:56-58; SURVEY.md §5.4).
     """
     data, spec = scene.data, scene.spec
     w, h = spec.width, spec.height
     aa = spp if spp is not None else max(spec.antialias, 1)
-
-    b = max(spec.children_per_ray, 1)
-    widest = b ** (spec.max_depth + 1)
-    lane_budget = max(max_lanes // (widest * spec.cam_samples), 1)
-
-    # choose samples-per-launch and pixels-per-launch
-    s_launch = min(aa, max(lane_budget // 256, 1))
-    p_launch = max(lane_budget // s_launch, 1)
+    s_launch, p_launch = _s_p_launch(spec, aa, max_lanes)
 
     image = np.zeros((h * w, 3), np.float64)
-    pix = np.arange(h * w, dtype=np.uint32)
-    px_all = pix % w
-    py_all = pix // w
+    s_done = 0
+    if checkpoint is not None and os.path.exists(checkpoint):
+        ck = np.load(checkpoint)
+        ident = (ck["width"] == w and ck["height"] == h
+                 and ck["aa"] == aa and ck["seed"] == seed)
+        if ident:
+            image = ck["image"]
+            s_done = int(ck["s_done"])
+        else:
+            raise ValueError(
+                f"checkpoint {checkpoint} was written for a different "
+                f"render config; refusing to mix")
 
-    for s0 in range(0, aa, s_launch):
+    pix = np.arange(h * w, dtype=np.uint32)
+    px_all, py_all = pix % w, pix // w
+
+    for s0 in range(s_done, aa, s_launch):
         sids = jnp.arange(s0, min(s0 + s_launch, aa), dtype=jnp.uint32)
         s_weight = len(sids) / aa
         for p0 in range(0, h * w, p_launch):
             sl = slice(p0, min(p0 + p_launch, h * w))
-            out = _render_tile(data, spec, jnp.asarray(px_all[sl]),
-                               jnp.asarray(py_all[sl]), sids, seed)
+            out = launch(data, spec, jnp.asarray(px_all[sl]),
+                         jnp.asarray(py_all[sl]), sids, seed)
             image[sl] += np.asarray(out, np.float64) * s_weight
             if progress is not None:
                 progress(s0 + len(sids), aa, sl.stop, h * w)
+        if checkpoint is not None:
+            np.savez(checkpoint, image=image, s_done=s0 + len(sids),
+                     width=w, height=h, aa=aa, seed=seed)
     return image.reshape(h, w, 3)
+
+
+def render_image(scene: Scene, *, seed: int = 0, spp: int | None = None,
+                 max_lanes: int = 1 << 22, progress=None,
+                 checkpoint: str | None = None) -> np.ndarray:
+    """Render the full image on one device: host tiling loop around the
+    jitted per-tile sampler.  Returns an (H, W, 3) float array of linear
+    radiance, row 0 = *bottom* row (BMP order).
+
+    ``spp`` overrides the scene's antialias count.  ``max_lanes`` bounds
+    device memory (see :func:`_s_p_launch`); ``checkpoint`` enables
+    chunk-level resume.
+    """
+    def launch(data, spec, px, py, sids, seed):
+        return _render_tile(data, spec, px, py, sids, seed)
+
+    return _image_loop(scene, launch, seed=seed, spp=spp,
+                       max_lanes=max_lanes, progress=progress,
+                       checkpoint=checkpoint)
