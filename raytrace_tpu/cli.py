@@ -144,9 +144,13 @@ def main(argv=None) -> int:
               rays_per_sec=round(n_primary * (spec.max_depth + 2) / dt))
 
     with log.phase("encode_write", path=args.output):
-        srgb = np.asarray(colorlib.to_srgb(
-            jnp.asarray(np.clip(img, 0.0, None), jnp.float32)))
-        write_bmp(args.output, srgb)
+        from raytrace_tpu.io.native import write_bmp_native
+
+        clipped = np.clip(img, 0.0, None).astype(np.float32)
+        if not write_bmp_native(args.output, clipped):
+            # no native toolchain: pure-Python fallback
+            srgb = np.asarray(colorlib.to_srgb(jnp.asarray(clipped)))
+            write_bmp(args.output, srgb)
     return 0
 
 

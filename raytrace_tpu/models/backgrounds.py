@@ -24,10 +24,21 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from raytrace_tpu.ops.vec import V3
 from raytrace_tpu.scene.schema import BG_SKYBOX, SceneData, SceneSpec
 
 # face order in SceneData.bg_cube (builder.py): px nx py ny pz nz
 FACE_PX, FACE_NX, FACE_PY, FACE_NY, FACE_PZ, FACE_NZ = range(6)
+
+
+def background_color_v(data: SceneData, spec: SceneSpec, rd: V3) -> V3:
+    """Background radiance for miss rays, component layout."""
+    if spec.bg_type != BG_SKYBOX:
+        zero = jnp.zeros_like(rd.x)
+        return V3(zero + data.bg_color[0], zero + data.bg_color[1],
+                  zero + data.bg_color[2])
+    out = _skybox(data, spec, jnp.stack([rd.x, rd.y, rd.z], -1))
+    return V3(out[..., 0], out[..., 1], out[..., 2])
 
 
 def background_color(data: SceneData, spec: SceneSpec, rd) -> jnp.ndarray:

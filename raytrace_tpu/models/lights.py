@@ -22,32 +22,40 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from raytrace_tpu.ops import rng
+from raytrace_tpu.ops.vec import V3, dot
 from raytrace_tpu.scene.schema import (
     LIGHT_AREA, LIGHT_DIRECTIONAL, LIGHT_POINT, SceneData)
 
 
 def light_dir_and_sq_range(data: SceneData, light_type: int, li: int,
-                           pt, k1, k2):
-    """Direction from ``pt`` (N,3) to light ``li``; draws fold the light
-    index into the purpose id so each area light gets its own stream.
+                           pt: V3, k1, k2, dtype):
+    """Direction from ``pt`` (component V3 of (N,)) to light ``li``;
+    draws fold the light index into the purpose id so each area light
+    gets its own stream.
 
-    Returns (ldir (N,3), sq_range (N,), has_range: bool static).
+    Returns (ldir: V3, sq_range (N,), has_range: bool static).
     """
-    dtype = pt.dtype
+    zero = jnp.zeros_like(pt.x)
     if light_type == LIGHT_DIRECTIONAL:
-        ldir = jnp.broadcast_to(-data.light_e1[li], pt.shape)
-        return ldir, jnp.zeros(pt.shape[:-1], dtype), False
+        ldir = V3(zero - data.light_e1[li, 0], zero - data.light_e1[li, 1],
+                  zero - data.light_e1[li, 2])
+        return ldir, zero, False
 
     if light_type == LIGHT_AREA:
         u = rng.draw(k1, k2, rng.PURPOSE_LIGHT_U + 2 * li, dtype)
         v = rng.draw(k1, k2, rng.PURPOSE_LIGHT_V + 2 * li, dtype)
-        loc = (data.light_p[li] + data.light_e1[li] * u[..., None]
-               + data.light_e2[li] * v[..., None])
+        loc = V3(data.light_p[li, 0] + data.light_e1[li, 0] * u
+                 + data.light_e2[li, 0] * v,
+                 data.light_p[li, 1] + data.light_e1[li, 1] * u
+                 + data.light_e2[li, 1] * v,
+                 data.light_p[li, 2] + data.light_e1[li, 2] * u
+                 + data.light_e2[li, 2] * v)
     else:
         assert light_type == LIGHT_POINT
-        loc = jnp.broadcast_to(data.light_p[li], pt.shape)
+        loc = V3(zero + data.light_p[li, 0], zero + data.light_p[li, 1],
+                 zero + data.light_p[li, 2])
 
     rel = loc - pt
-    sq = jnp.sum(rel * rel, axis=-1)
-    ldir = rel / jnp.sqrt(jnp.where(sq > 0, sq, 1.0))[..., None]
+    sq = dot(rel, rel)
+    ldir = rel.scale(1.0 / jnp.sqrt(jnp.where(sq > 0, sq, 1.0)))
     return ldir, sq, True

@@ -4,11 +4,13 @@
 The reference shades one hit at a time through a trait object and
 recurses into ``ray_color`` for reflection / refraction / Monte-Carlo
 indirect bounces.  Here one call shades a whole wavefront level: material
-polymorphism is a per-lane integer type id + masked selects over the
-padded material table, and recursion becomes *child slot emission* — each
-lane produces up to B = has_reflect + has_refract + n_indirect child rays
-with per-child throughput weights, consumed by the iterative wavefront
-loop in :mod:`raytrace_tpu.render.integrator`.
+polymorphism is per-lane masked selects over parameters already chosen by
+the closest-hit loop (ops/intersect.py HitRec), and recursion becomes
+*child slot emission* — each lane produces up to
+B = has_reflect + has_refract + n_indirect child rays with per-child
+throughput weights, consumed by the iterative wavefront loop in
+:mod:`raytrace_tpu.render.integrator`.  All arrays are
+component-separated ``(N,)`` lanes (ops/vec.py layout note).
 
 Semantics preserved exactly (per material, with citations):
 
@@ -48,21 +50,18 @@ guard: ``normalize(ldir - d)`` returns 0 instead of NaN when
 
 from __future__ import annotations
 
-import numpy as np
+from typing import NamedTuple
+
 import jax.numpy as jnp
 
 from raytrace_tpu.models.lights import light_dir_and_sq_range
 from raytrace_tpu.ops import rng
-from raytrace_tpu.ops.intersect import Hit, occluded
-from raytrace_tpu.scene.schema import (
-    MAT_FRESNEL, MAT_INDIRECT_PHONG, MAT_PHONG, MAT_TRANSPARENT,
-    SceneData, SceneSpec)
+from raytrace_tpu.ops import vec
+from raytrace_tpu.ops.intersect import HitRec, occluded_v
+from raytrace_tpu.ops.vec import V3, dot
+from raytrace_tpu.scene.schema import SceneData, SceneSpec
 
 _OFFSET = 1e-5  # secondary-ray origin offset (raytrace.rs:43,62,108,211,220)
-
-
-def _dot(a, b):
-    return jnp.sum(a * b, axis=-1)
 
 
 def _clamp0(x):
@@ -73,64 +72,54 @@ def _clamp1(x):
     return jnp.minimum(x, 1.0)
 
 
-def _safe_unit(v):
-    """normalize() with a zero-vector guard (divergence note above)."""
-    sq = jnp.sum(v * v, axis=-1, keepdims=True)
-    return jnp.where(sq > 0, v / jnp.sqrt(jnp.where(sq > 0, sq, 1.0)), 0.0)
-
-
-class Child:
+class Child(NamedTuple):
     """One child-slot emission: a masked batch of secondary rays."""
 
-    def __init__(self, ro, rd, sig, weight, live, slot):
-        self.ro = ro          # (N,3) origin
-        self.rd = rd          # (N,3) direction (reference normalization)
-        self.sig = sig        # (N,)  significance for the child
-        self.weight = weight  # (N,3) contribution weight (throughput factor)
-        self.live = live      # (N,)  bool: slot active for this lane
-        self.slot = slot      # static slot index (RNG stream derivation)
+    ro: V3
+    rd: V3                 # direction (reference normalization semantics)
+    sig: jnp.ndarray       # (N,) significance for the child
+    weight: V3             # contribution weight (throughput factor)
+    live: jnp.ndarray      # (N,) bool: slot active for this lane
+    slot: int              # static slot index (RNG stream derivation)
 
 
-def shade(data: SceneData, spec: SceneSpec, ro, rd, hit: Hit,
+def shade(data: SceneData, spec: SceneSpec, ro: V3, rd: V3, hit: HitRec,
           sig, live, k1, k2, depth: int):
     """Shade one wavefront level.
 
-    Returns ``(emit (N,3), children: list[Child])`` where ``emit`` is the
+    Returns ``(emit: V3, children: list[Child])`` where ``emit`` is the
     *local* radiance of each lane (ambient + direct lighting; background
     for miss lanes is handled by the integrator) and ``children`` are the
     secondary-ray slots (empty at the final level).
     """
-    dtype = ro.dtype
-    obj = hit.obj
-    mt = jnp.asarray(np.asarray(spec.mat_type, np.int32))[obj]     # (N,)
-    diffuse = data.mat_diffuse[obj]
-    specular = data.mat_specular[obj]
-    exponent = data.mat_exponent[obj]
-    ambient = data.mat_ambient[obj]
-    ior = data.mat_ior[obj]
-    msamples = data.mat_samples[obj]
-
-    is_fresnel = mt == MAT_FRESNEL
-    is_transp = mt == MAT_TRANSPARENT
-    is_indirect = mt == MAT_INDIRECT_PHONG
+    dtype = ro.x.dtype
+    diffuse, specular, ambient = hit.diffuse, hit.specular, hit.ambient
+    exponent, ior, msamples = hit.exponent, hit.ior, hit.msamples
+    is_fresnel, is_transp, is_indirect = (hit.is_fresnel, hit.is_transp,
+                                          hit.is_indirect)
 
     t_safe = jnp.where(hit.hit, hit.t, 0.0)
-    pt = ro + rd * t_safe[..., None]
-    nd = _dot(hit.normal, rd)                 # raw-normal cosine (unflipped)
-    n_f = jnp.where((nd > 0)[..., None], -hit.normal, hit.normal)
+    pt = ro + rd.scale(t_safe)
+    nd = dot(hit.normal, rd)              # raw-normal cosine (unflipped)
+    flip = nd > 0
+    n_f = vec.where(flip, -hit.normal, hit.normal)
 
     # ---- fresnel / refraction block (raytrace.rs:128-136, 174-192) ----
     r0 = ((ior - 1.0) / (ior + 1.0)) ** 2
     # Transparent: Snell + TIR
-    n_ratio = jnp.where(nd > 0, ior, 1.0 / ior)
+    ior_safe = jnp.where(ior != 0, ior, 1.0)   # ior=0 -> no refraction
+    n_ratio = jnp.where(nd > 0, ior, 1.0 / ior_safe)
     sin2 = n_ratio * n_ratio * (1.0 - nd * nd)
-    refract_ok = sin2 < 1.0
+    refract_ok = (sin2 < 1.0) & (ior != 0)
     cos_t = jnp.sqrt(_clamp0(jnp.where(refract_ok, 1.0 - sin2, 0.0)))
-    refr = (rd * n_ratio[..., None]
-            - n_f * (n_ratio * jnp.abs(nd) + cos_t)[..., None])  # un-normalized
+    # mask n_ratio on TIR lanes so ``refr`` stays finite there — its
+    # value is never selected, but an inf/NaN would poison cotangents
+    # through the masked branches (the where-NaN gradient trap)
+    n_r = jnp.where(refract_ok, n_ratio, 0.0)
+    refr = rd.scale(n_r) - n_f.scale(n_r * jnp.abs(nd) + cos_t)
     omcos_transp = jnp.where(
         nd > 0,
-        jnp.where(refract_ok, 1.0 - _dot(n_f, refr), 0.0),
+        jnp.where(refract_ok, 1.0 - dot(n_f, refr), 0.0),
         1.0 - jnp.abs(nd))
     omcos = jnp.where(is_fresnel, 1.0 - jnp.abs(nd), omcos_transp)
     omcos2 = omcos * omcos
@@ -140,76 +129,81 @@ def shade(data: SceneData, spec: SceneSpec, ro, rd, hit: Hit,
                           jnp.ones_like(fresnel))
 
     # ---- significance gates ----
-    diff_sig = jnp.sum(diffuse, axis=-1)
-    spec_sig = jnp.sum(specular, axis=-1)
+    diff_sig = diffuse.x + diffuse.y + diffuse.z
+    spec_sig = specular.x + specular.y + specular.z
     ms = spec.min_significance
     diffuse_gate = (diff_sig * sig > ms) & ~is_transp
     spec_gate = spec_sig * fres_mult * sig > ms
 
     emit = ambient  # Transparent's ambient is all-zero by construction
 
-    if depth <= spec.max_depth:
-        # ---- direct lighting (static loop over lights) ----
-        shaded = live & hit.hit
-        for li, lt in enumerate(spec.light_type):
-            ldir, sqr, has_range = light_dir_and_sq_range(
-                data, lt, li, pt, k1, k2)
-            blocked = occluded(data, spec, pt + ldir * _OFFSET, ldir,
-                               sqr, has_range)
-            vis = shaded & ~blocked
-            lcol = data.light_color[li]
-            lam = _clamp0(_dot(ldir, n_f)) * jnp.asarray(1.0 / jnp.pi, dtype)
-            emit = emit + jnp.where(
-                (vis & diffuse_gate)[..., None],
-                diffuse * lcol * lam[..., None], 0.0)
-            half = _safe_unit(ldir - rd)
-            ph = _clamp0(_dot(n_f, half)) ** exponent
-            emit = emit + jnp.where(
-                (vis & spec_gate)[..., None],
-                specular * lcol * (ph * fres_mult)[..., None], 0.0)
+    if depth > spec.max_depth:
+        # ambient only, no direct light, no recursion (raytrace.rs:33)
+        return emit, []
 
-        # ---- child slots ----
-        children: list[Child] = []
-        slot = 0
-        can_spawn = live & hit.hit
-        if spec.has_reflect:
-            rdir = rd - n_f * (2.0 * _dot(rd, n_f))[..., None]
-            gate = can_spawn & spec_gate & ~is_indirect
-            children.append(Child(
-                ro=pt + rdir * _OFFSET, rd=rdir,
-                sig=sig * spec_sig * fres_mult,
-                weight=specular * fres_mult[..., None],
-                live=gate, slot=slot))
-            slot += 1
-        if spec.has_refract:
-            gate = can_spawn & is_transp & (fresnel < 1.0) & refract_ok
-            omf = _clamp1(1.0 - fresnel)
-            rdir = _safe_unit(refr)
-            children.append(Child(
-                ro=pt + rdir * _OFFSET, rd=rdir,
-                sig=omf * sig,
-                weight=jnp.broadcast_to(omf[..., None], specular.shape),
-                live=gate, slot=slot))
-            slot += 1
-        for k in range(spec.n_indirect):
-            r1 = rng.draw(k1, k2, rng.PURPOSE_INDIRECT_R1 + 2 * k,
-                          dtype) * 2.0 - 1.0
-            phi = rng.draw(k1, k2, rng.PURPOSE_INDIRECT_R2 + 2 * k,
-                           dtype) * (2.0 * jnp.pi)
-            s = 1.0 - r1 * r1
-            d = jnp.stack([s * jnp.cos(phi), r1, s * jnp.sin(phi)], axis=-1)
-            d = jnp.where((_dot(d, n_f) >= 0)[..., None], d, -d)
-            fac = msamples * 0.5
-            w = diffuse * (_dot(n_f, d) / jnp.where(fac > 0, fac, 1.0)
-                           )[..., None]
-            gate = (can_spawn & is_indirect & (diffuse_gate | spec_gate)
-                    & (k < msamples) & diffuse_gate)
-            children.append(Child(
-                ro=pt + d * _OFFSET, rd=d,
-                sig=sig,                      # unattenuated (raytrace.rs:109)
-                weight=w, live=gate, slot=slot))
-            slot += 1
-        return emit, children
+    # ---- direct lighting (static loop over lights) ----
+    shaded = live & hit.hit
+    inv_pi = jnp.asarray(1.0 / jnp.pi, dtype)
+    for li, lt in enumerate(spec.light_type):
+        ldir, sqr, has_range = light_dir_and_sq_range(
+            data, lt, li, pt, k1, k2, dtype)
+        blocked = occluded_v(data, spec, pt + ldir.scale(_OFFSET), ldir,
+                             sqr, has_range)
+        vis = shaded & ~blocked
+        lr, lg, lb = (data.light_color[li, 0], data.light_color[li, 1],
+                      data.light_color[li, 2])
+        lam = _clamp0(dot(ldir, n_f)) * inv_pi
+        dmask = vis & diffuse_gate
+        wd = jnp.where(dmask, lam, 0.0)
+        emit = V3(emit.x + diffuse.x * lr * wd,
+                  emit.y + diffuse.y * lg * wd,
+                  emit.z + diffuse.z * lb * wd)
+        half = vec.safe_normalize(ldir - rd)
+        ph = _clamp0(dot(n_f, half)) ** exponent
+        smask = vis & spec_gate
+        ws = jnp.where(smask, ph * fres_mult, 0.0)
+        emit = V3(emit.x + specular.x * lr * ws,
+                  emit.y + specular.y * lg * ws,
+                  emit.z + specular.z * lb * ws)
 
-    # depth > MAX_DEPTH: ambient only, no recursion (raytrace.rs:33)
-    return emit, []
+    # ---- child slots ----
+    children: list[Child] = []
+    slot = 0
+    can_spawn = live & hit.hit
+    if spec.has_reflect:
+        rdir = rd - n_f.scale(2.0 * dot(rd, n_f))
+        gate = can_spawn & spec_gate & ~is_indirect
+        children.append(Child(
+            ro=pt + rdir.scale(_OFFSET), rd=rdir,
+            sig=sig * spec_sig * fres_mult,
+            weight=specular.scale(fres_mult),
+            live=gate, slot=slot))
+        slot += 1
+    if spec.has_refract:
+        gate = can_spawn & is_transp & (fresnel < 1.0) & refract_ok
+        omf = _clamp1(1.0 - fresnel)
+        rdir = vec.safe_normalize(refr)
+        children.append(Child(
+            ro=pt + rdir.scale(_OFFSET), rd=rdir,
+            sig=omf * sig,
+            weight=V3(omf, omf, omf),
+            live=gate, slot=slot))
+        slot += 1
+    for k in range(spec.n_indirect):
+        r1 = rng.draw(k1, k2, rng.PURPOSE_INDIRECT_R1 + 2 * k,
+                      dtype) * 2.0 - 1.0
+        phi = rng.draw(k1, k2, rng.PURPOSE_INDIRECT_R2 + 2 * k,
+                       dtype) * (2.0 * jnp.pi)
+        s = 1.0 - r1 * r1
+        d = V3(s * jnp.cos(phi), r1, s * jnp.sin(phi))
+        d = vec.where(dot(d, n_f) >= 0, d, -d)
+        fac = msamples * 0.5
+        w = dot(n_f, d) / jnp.where(fac > 0, fac, 1.0)
+        gate = (can_spawn & is_indirect & (diffuse_gate | spec_gate)
+                & (k < msamples) & diffuse_gate)
+        children.append(Child(
+            ro=pt + d.scale(_OFFSET), rd=d,
+            sig=sig,                      # unattenuated (raytrace.rs:109)
+            weight=diffuse.scale(w), live=gate, slot=slot))
+        slot += 1
+    return emit, children

@@ -5,8 +5,15 @@ TPU-native re-design of the reference's geometry kernel (SURVEY.md §2
 (shapes.rs:93-112) and the linear-scan ``Scene::intersect``
 (scene.rs:244-250).  The reference tests one ray against one boxed shape
 at a time through a vtable; here a structure-of-arrays batch of N rays is
-tested against all O objects at once as pure VPU arithmetic, and the
-closest hit is a masked argmin over the object axis.
+tested against all objects at once as pure VPU arithmetic.
+
+Layout: everything is component-separated ``(N,)`` arrays (ops/vec.py) —
+an ``(N, O)`` t-matrix with minor dim O would be padded to the 128-lane
+tile and waste ~128/O of HBM traffic, so instead the object loop is
+statically unrolled with a *running min* carried in ``(N,)`` registers,
+and the winning object's **shading parameters are selected during the
+same loop** (a chain of masked selects) — no argmin, no gather, no
+one-hot matmul ever materializes.
 
 Semantics preserved exactly:
 
@@ -17,162 +24,208 @@ Semantics preserved exactly:
   is the *stored* plane normal, un-normalized and un-flipped
   (shapes.rs:102-110);
 * closest hit: first minimum in scene-file object order (``min_by_key``
-  keeps the earliest minimum, scene.rs:248; ``jnp.argmin`` does the same);
+  keeps the earliest minimum, scene.rs:248; the running ``<`` update does
+  the same);
 * shadow query: blocked iff the closest hit satisfies ``t^2 < range^2``
   (or any hit at all for range-free directional lights, raytrace.rs:43-50)
   — since ``min(t)^2 < r^2  <=>  any(t^2 < r^2)`` for positive t, the
-  shadow query needs no argmin at all.
+  shadow query needs no min at all.
 
 Documented divergences (guarded edge cases, SURVEY.md §2 #4):
 
 * a ray exactly parallel to a plane gives ``t = ±inf`` (or NaN when also
-  contained in the plane) in the reference; ±inf "hits" are accepted
-  there and a NaN ``t`` would win the min (Option<FloatNotNan> orders
-  ``None`` first).  Both are measure-zero float accidents; here they are
-  rejected (``denominator == 0`` => miss) to keep gradients finite.
+  contained in the plane) in the reference; both are measure-zero float
+  accidents, rejected here (``denominator == 0`` => miss) to keep
+  gradients finite.
 
-Differentiability: the winning object *index* is integral (no gradient,
-= subgradient semantics at visibility silhouettes); ``t`` and the normal
-are recomputed from the winning object's parameters, so gradients flow
-into sphere centers/radii and plane points/normals.
+Differentiability: the winning object *selection* is discrete (no
+gradient, = subgradient semantics at visibility silhouettes); ``t``,
+normals and material parameters are selected values of differentiable
+per-object expressions, so gradients flow into sphere centers/radii,
+plane points/normals and the whole material table.
 """
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
+from typing import NamedTuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from raytrace_tpu.scene.schema import SHAPE_PLANE, SHAPE_SPHERE, SceneData, SceneSpec
-
-_EPS_GUARD = 0.0  # reference has no epsilon anywhere; keep exact
-
-
-@dataclasses.dataclass
-class Hit:
-    """SoA hit record: the TPU-native ``IntersectionResult`` + object id
-    (shapes.rs:28-33, scene.rs:215-221)."""
-
-    t: jnp.ndarray        # (N,) hit distance; +inf on miss
-    normal: jnp.ndarray   # (N, 3) geometric normal (reference semantics)
-    obj: jnp.ndarray      # (N,) int32 object index (scene-file order)
-    hit: jnp.ndarray      # (N,) bool
+from raytrace_tpu.ops.vec import V3, dot, pack, splat
+from raytrace_tpu.scene.schema import (
+    MAT_FRESNEL, MAT_INDIRECT_PHONG, MAT_TRANSPARENT, SHAPE_PLANE,
+    SHAPE_SPHERE, SceneData, SceneSpec)
 
 
-jax.tree_util.register_dataclass(Hit, data_fields=["t", "normal", "obj", "hit"],
-                                 meta_fields=[])
+class HitRec(NamedTuple):
+    """Closest-hit record + pre-selected shading parameters, all (N,)."""
+
+    t: jnp.ndarray         # hit distance; +inf on miss
+    hit: jnp.ndarray       # bool
+    obj: jnp.ndarray       # int32 winning object (scene-file order)
+    normal: V3             # geometric normal (reference semantics)
+    # winning object's material row (selected during the min loop)
+    diffuse: V3
+    specular: V3
+    ambient: V3
+    exponent: jnp.ndarray
+    ior: jnp.ndarray
+    msamples: jnp.ndarray
+    is_fresnel: jnp.ndarray   # bool
+    is_transp: jnp.ndarray    # bool
+    is_indirect: jnp.ndarray  # bool
 
 
-def _dot(a, b):
-    return jnp.sum(a * b, axis=-1)
-
-
-def _sphere_t(center, radius, ro, rd):
-    """All-pairs sphere intersection (shapes.rs:51-88).
-
-    center (S,3), radius (S,), ro/rd (N,3) -> t (N,S), valid (N,S).
-    """
-    oc = ro[:, None, :] - center[None, :, :]            # (N,S,3)
-    a = _dot(rd, rd)[:, None]                           # (N,1)
-    b = 2.0 * jnp.einsum("nd,nsd->ns", rd, oc)
-    c = jnp.sum(oc * oc, axis=-1) - (radius * radius)[None, :]
-    disc = b * b - 4.0 * a * c
-    has = disc > 0.0
-    sq = jnp.sqrt(jnp.where(has, disc, 1.0))            # NaN-safe for grads
-    inv2a = 0.5 / a
-    t1 = (-b - sq) * inv2a
-    t2 = (-b + sq) * inv2a
-    t = jnp.where(t1 > 0.0, t1, t2)
-    valid = has & (t > 0.0)
-    return t, valid
-
-
-def _plane_t(point, normal, ro, rd):
-    """All-pairs plane intersection (shapes.rs:101-111).
-
-    point/normal (P,3), ro/rd (N,3) -> t (N,P), valid (N,P).
-    """
-    denom = rd @ normal.T                               # (N,P)
-    numer = jnp.einsum("npd,pd->np", point[None, :, :] - ro[:, None, :], normal)
+def _object_t(data: SceneData, spec: SceneSpec, i: int, ro: V3, rd: V3,
+              a, rd_ro=None):
+    """t and validity for object ``i`` (static), as (N,) arrays."""
+    if spec.shape_type[i] == SHAPE_SPHERE:
+        c = V3(data.prim_p[i, 0], data.prim_p[i, 1], data.prim_p[i, 2])
+        r = data.prim_q[i, 0]
+        oc = ro - c  # scalar components broadcast against (N,)
+        b = 2.0 * dot(rd, oc)
+        cc = dot(oc, oc) - r * r
+        disc = b * b - 4.0 * a * cc
+        has = disc > 0.0
+        sq = jnp.sqrt(jnp.where(has, disc, 1.0))   # NaN-safe for grads
+        inv2a = 0.5 / a
+        t1 = (-b - sq) * inv2a
+        t2 = (-b + sq) * inv2a
+        t = jnp.where(t1 > 0.0, t1, t2)
+        return t, has & (t > 0.0)
+    assert spec.shape_type[i] == SHAPE_PLANE
+    n = V3(data.prim_q[i, 0], data.prim_q[i, 1], data.prim_q[i, 2])
+    p_dot_n = (data.prim_p[i, 0] * data.prim_q[i, 0]
+               + data.prim_p[i, 1] * data.prim_q[i, 1]
+               + data.prim_p[i, 2] * data.prim_q[i, 2])
+    denom = dot(rd, n)
+    numer = p_dot_n - dot(ro, n)
     ok = denom != 0.0
     t = numer / jnp.where(ok, denom, 1.0)
-    valid = ok & (t > 0.0)
-    return t, valid
+    return t, ok & (t > 0.0)
 
 
-def _partition(spec: SceneSpec):
-    """Static object-type partition, preserving scene-file order."""
-    st = np.asarray(spec.shape_type)
-    sph = np.nonzero(st == SHAPE_SPHERE)[0]
-    pln = np.nonzero(st == SHAPE_PLANE)[0]
-    order = np.concatenate([sph, pln]).astype(np.int32)
-    inv = np.zeros(len(st), np.int32)
-    inv[order] = np.arange(len(order), dtype=np.int32)
-    # padded lanes (shape_type < 0) are absent from order; route them to
-    # column 0 and mask them out via `live`
-    live = st >= 0
-    inv[~live] = 0
-    return sph, pln, inv, live
+def closest_hit(data: SceneData, spec: SceneSpec, ro: V3, rd: V3) -> HitRec:
+    """Closest-hit query + material row selection (scene.rs:247-249)."""
+    dtype = ro.x.dtype
+    n_like = ro.x
+    a = dot(rd, rd)
+
+    mts = np.asarray(spec.mat_type, np.int32)
+    live_obj = [i for i in range(spec.n_objects) if spec.shape_type[i] >= 0]
+
+    t_best = jnp.full_like(n_like, jnp.inf)
+    hit = jnp.zeros(n_like.shape, bool)
+    obj = jnp.zeros(n_like.shape, jnp.int32)
+    sel = None  # dict of selected params
+
+    for i in live_obj:
+        t_i, v_i = _object_t(data, spec, i, ro, rd, a)
+        t_i = jnp.where(v_i, t_i, jnp.inf)
+        better = t_i < t_best
+        t_best = jnp.where(better, t_i, t_best)
+        hit = hit | v_i
+        obj = jnp.where(better, i, obj)
+
+        is_sph = spec.shape_type[i] == SHAPE_SPHERE
+        row = dict(
+            cx=data.prim_p[i, 0], cy=data.prim_p[i, 1], cz=data.prim_p[i, 2],
+            qx=data.prim_q[i, 0], qy=data.prim_q[i, 1], qz=data.prim_q[i, 2],
+            dr=data.mat_diffuse[i, 0], dg=data.mat_diffuse[i, 1],
+            db=data.mat_diffuse[i, 2],
+            sr=data.mat_specular[i, 0], sg=data.mat_specular[i, 1],
+            sb=data.mat_specular[i, 2],
+            ar=data.mat_ambient[i, 0], ag=data.mat_ambient[i, 1],
+            ab=data.mat_ambient[i, 2],
+            exp=data.mat_exponent[i], ior=data.mat_ior[i],
+            ms=data.mat_samples[i],
+            sph=jnp.asarray(1.0 if is_sph else 0.0, dtype),
+            fre=jnp.asarray(1.0 if mts[i] == MAT_FRESNEL else 0.0, dtype),
+            tra=jnp.asarray(1.0 if mts[i] == MAT_TRANSPARENT else 0.0, dtype),
+            ind=jnp.asarray(1.0 if mts[i] == MAT_INDIRECT_PHONG else 0.0,
+                            dtype),
+        )
+        if sel is None:
+            # unconditionally adopt the first object's row: miss lanes
+            # then carry object-0 parameters, exactly like the argmin
+            # formulation (argmin of all-inf = 0) — and unlike a zero
+            # fill, real parameter values (ior etc.) keep the masked-out
+            # material arithmetic finite for clean gradients
+            sel = {k: jnp.broadcast_to(v, n_like.shape) for k, v in
+                   row.items()}
+        else:
+            sel = {k: jnp.where(better, row[k], sel[k]) for k in sel}
+
+    if sel is None:  # empty scene
+        z = jnp.zeros_like(n_like)
+        zv = V3(z, z, z)
+        return HitRec(t=jnp.full_like(n_like, jnp.inf),
+                      hit=jnp.zeros(n_like.shape, bool), obj=obj,
+                      normal=zv, diffuse=zv, specular=zv, ambient=zv,
+                      exponent=z, ior=z, msamples=z,
+                      is_fresnel=z > 1, is_transp=z > 1, is_indirect=z > 1)
+
+    # normal: sphere => unit (pt - c); plane => stored q, raw
+    t_safe = jnp.where(hit, t_best, 0.0)
+    pt = ro + rd.scale(t_safe)
+    rel = pt - V3(sel["cx"], sel["cy"], sel["cz"])
+    nrm2 = dot(rel, rel)
+    inv = jax.lax.rsqrt(jnp.where(nrm2 > 0, nrm2, 1.0))
+    is_sph = sel["sph"] > 0.5
+    normal = V3(
+        jnp.where(is_sph, rel.x * inv, sel["qx"]),
+        jnp.where(is_sph, rel.y * inv, sel["qy"]),
+        jnp.where(is_sph, rel.z * inv, sel["qz"]))
+
+    return HitRec(
+        t=t_best, hit=hit, obj=obj, normal=normal,
+        diffuse=V3(sel["dr"], sel["dg"], sel["db"]),
+        specular=V3(sel["sr"], sel["sg"], sel["sb"]),
+        ambient=V3(sel["ar"], sel["ag"], sel["ab"]),
+        exponent=sel["exp"], ior=sel["ior"], msamples=sel["ms"],
+        is_fresnel=sel["fre"] > 0.5, is_transp=sel["tra"] > 0.5,
+        is_indirect=sel["ind"] > 0.5)
 
 
-def _all_object_t(data: SceneData, spec: SceneSpec, ro, rd):
-    """t-matrix (N, O) + validity over all objects in file order."""
-    sph, pln, inv, live = _partition(spec)
-    cols_t, cols_v = [], []
-    if len(sph):
-        ts, vs = _sphere_t(data.prim_p[sph], data.prim_q[sph, 0], ro, rd)
-        cols_t.append(ts)
-        cols_v.append(vs)
-    if len(pln):
-        tp, vp = _plane_t(data.prim_p[pln], data.prim_q[pln], ro, rd)
-        cols_t.append(tp)
-        cols_v.append(vp)
-    if not cols_t:  # empty scene: one dummy always-miss column
-        n = ro.shape[0]
-        return (jnp.full((n, 1), jnp.inf, ro.dtype),
-                jnp.zeros((n, 1), bool))
-    t = jnp.concatenate(cols_t, axis=1)[:, inv]
-    v = jnp.concatenate(cols_v, axis=1)[:, inv]
-    v = v & jnp.asarray(live)[None, :]
-    return t, v
+def occluded_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
+               sq_range, has_range: bool) -> jnp.ndarray:
+    """Shadow query (raytrace.rs:43-50), component form: is any hit
+    inside range?  Equivalent to the reference's closest-hit test but
+    min-free (see module docstring)."""
+    a = dot(rd, rd)
+    blocked = jnp.zeros(ro.x.shape, bool)
+    for i in range(spec.n_objects):
+        if spec.shape_type[i] < 0:
+            continue
+        t_i, v_i = _object_t(data, spec, i, ro, rd, a)
+        if has_range:
+            v_i = v_i & (t_i * t_i < sq_range)
+        blocked = blocked | v_i
+    return blocked
+
+
+# ---------------------------------------------------------------------------
+# (N, 3) API wrappers (tests / external callers)
+
+
+class Hit(NamedTuple):
+    """Legacy (N,3)-layout hit record."""
+
+    t: jnp.ndarray
+    normal: jnp.ndarray   # (N, 3)
+    obj: jnp.ndarray
+    hit: jnp.ndarray
 
 
 def intersect(data: SceneData, spec: SceneSpec, ro, rd) -> Hit:
-    """Closest-hit query for a ray batch (scene.rs:247-249).
-
-    ro, rd: (N, 3).  Returns :class:`Hit` with file-order-first-min
-    tie-breaking and reference normal semantics.
-    """
-    t_all, v_all = _all_object_t(data, spec, ro, rd)
-    t_masked = jnp.where(v_all, t_all, jnp.inf)
-    obj = jnp.argmin(t_masked, axis=1).astype(jnp.int32)
-    t = jnp.min(t_masked, axis=1)
-    hit = jnp.any(v_all, axis=1)
-
-    # recompute the winning normal from object parameters (differentiable)
-    p = data.prim_p[obj]                                # (N,3)
-    q = data.prim_q[obj]
-    is_sphere = jnp.asarray(np.asarray(spec.shape_type) == SHAPE_SPHERE)[obj]
-    t_safe = jnp.where(hit, t, 0.0)
-    pt = ro + rd * t_safe[:, None]
-    rel = pt - p
-    nrm2 = jnp.sum(rel * rel, axis=-1, keepdims=True)
-    sph_n = rel * jax.lax.rsqrt(jnp.where(nrm2 > 0, nrm2, 1.0))
-    normal = jnp.where(is_sphere[:, None], sph_n, q)
-    return Hit(t=t, normal=normal, obj=obj, hit=hit)
+    """Closest-hit query for an (N,3) ray batch (scene.rs:247-249)."""
+    h = closest_hit(data, spec, splat(ro), splat(rd))
+    return Hit(t=h.t, normal=pack(h.normal), obj=h.obj, hit=h.hit)
 
 
 def occluded(data: SceneData, spec: SceneSpec, ro, rd,
              sq_range, has_range: bool) -> jnp.ndarray:
-    """Shadow query (raytrace.rs:43-50): is the closest hit inside range?
-
-    ``has_range`` is static (directional lights have none, scene.rs:135-139).
-    Equivalent to the reference's closest-hit test but argmin-free.
-    """
-    t_all, v_all = _all_object_t(data, spec, ro, rd)
-    if has_range:
-        v_all = v_all & (t_all * t_all < sq_range[:, None])
-    return jnp.any(v_all, axis=1)
+    """Shadow query for an (N,3) ray batch."""
+    return occluded_v(data, spec, splat(ro), splat(rd), sq_range, has_range)

@@ -35,54 +35,83 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from raytrace_tpu.models.backgrounds import background_color
+from raytrace_tpu.models.backgrounds import background_color_v
 from raytrace_tpu.models.cameras import project
 from raytrace_tpu.models.materials import shade
-from raytrace_tpu.ops import rng
-from raytrace_tpu.ops.intersect import intersect
+from raytrace_tpu.ops import rng, vec
+from raytrace_tpu.ops.intersect import closest_hit
+from raytrace_tpu.ops.vec import V3
 from raytrace_tpu.scene.schema import Scene, SceneData, SceneSpec
 
 
-def radiance(data: SceneData, spec: SceneSpec, ro, rd, k1, k2,
-             significance=None) -> jnp.ndarray:
-    """Radiance for a batch of primary rays — ``ray_color`` for a
-    wavefront (raytrace.rs:261-267).
+def _flatten_slots(parts):
+    """[(N,), ...] per child slot -> (N*B,) interleaved per parent.
 
-    ro/rd: (N,3) primary rays; k1/k2: (N,) per-lane RNG streams;
-    significance: initial per-ray significance (default 1.0,
-    main.rs:54).  Returns (N,3) linear radiance.
+    Slot arrays are stacked on a new minor axis then flattened, so the
+    B children of parent i occupy lanes [i*B, (i+1)*B) — keeping the
+    per-primary grouping contiguous for the level-sum reshape.
     """
-    n = ro.shape[0]
-    dtype = ro.dtype
+    if len(parts) == 1:
+        return parts[0]
+    return jnp.stack(parts, axis=1).reshape(-1)
+
+
+def radiance_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3, k1, k2,
+               significance=None) -> V3:
+    """Radiance for a batch of primary rays — ``ray_color`` for a
+    wavefront (raytrace.rs:261-267), component layout.
+
+    ro/rd: V3 of (N,) lanes; k1/k2: (N,) per-lane RNG streams;
+    significance: initial per-ray significance (default 1.0, main.rs:54).
+    Returns V3 of (N,) linear radiance components.
+    """
+    n = ro.x.shape[0]
+    dtype = ro.x.dtype
     sig = (jnp.ones(n, dtype) if significance is None
            else jnp.broadcast_to(significance, (n,)).astype(dtype))
     live = jnp.ones(n, bool)
-    tp = jnp.ones((n, 3), dtype)
-    acc = jnp.zeros((n, 3), dtype)
+    tp = vec.full_like(sig, 1.0)
+    acc = vec.full_like(sig, 0.0)
 
     for depth in range(spec.max_depth + 2):
-        hit = intersect(data, spec, ro, rd)
+        hit = closest_hit(data, spec, ro, rd)
         emit, children = shade(data, spec, ro, rd, hit, sig, live, k1, k2,
                                depth)
-        bg = background_color(data, spec, rd)
-        local = jnp.where(hit.hit[..., None], emit, bg)
-        contrib = jnp.where(live[..., None], tp * local, 0.0)
-        acc = acc + contrib.reshape(n, -1, 3).sum(axis=1)
+        bg = background_color_v(data, spec, rd)
+        local = vec.where(hit.hit, emit, bg)
+        contrib = vec.where(live, tp.mul(local), vec.full_like(sig, 0.0))
+        # sum this level's lanes back onto the primary-ray axis
+        acc = V3(acc.x + contrib.x.reshape(n, -1).sum(axis=1),
+                 acc.y + contrib.y.reshape(n, -1).sum(axis=1),
+                 acc.z + contrib.z.reshape(n, -1).sum(axis=1))
 
         if not children:
             break
         # flatten child slots: (N_level, B, ...) -> (N_level * B, ...)
-        ro = jnp.stack([c.ro for c in children], 1).reshape(-1, 3)
-        rd = jnp.stack([c.rd for c in children], 1).reshape(-1, 3)
-        sig = jnp.stack([c.sig for c in children], 1).reshape(-1)
-        live = jnp.stack([c.live for c in children], 1).reshape(-1)
-        tp = jnp.stack([tp * c.weight for c in children], 1).reshape(-1, 3)
-        tp = jnp.where(live[..., None], tp, 0.0)
+        ro = V3(*(_flatten_slots([c.ro[i] for c in children])
+                  for i in range(3)))
+        rd = V3(*(_flatten_slots([c.rd[i] for c in children])
+                  for i in range(3)))
+        sig = _flatten_slots([c.sig for c in children])
+        live_n = _flatten_slots([c.live for c in children])
+        tp_children = [tp.mul(c.weight) for c in children]
+        tp = V3(*(_flatten_slots([t[i] for t in tp_children])
+                  for i in range(3)))
+        live = live_n
+        tp = vec.where(live, tp, vec.full_like(sig, 0.0))
         ks = [rng.derive(k1, k2, c.slot) for c in children]
-        k1 = jnp.stack([k[0] for k in ks], 1).reshape(-1)
-        k2 = jnp.stack([k[1] for k in ks], 1).reshape(-1)
+        k1 = _flatten_slots([k[0] for k in ks])
+        k2 = _flatten_slots([k[1] for k in ks])
 
     return acc
+
+
+def radiance(data: SceneData, spec: SceneSpec, ro, rd, k1, k2,
+             significance=None) -> jnp.ndarray:
+    """(N,3)-layout wrapper around :func:`radiance_v`."""
+    out = radiance_v(data, spec, vec.splat(ro), vec.splat(rd), k1, k2,
+                     significance)
+    return vec.pack(out)
 
 
 def sample_pixels(data: SceneData, spec: SceneSpec, px, py, sample_ids,
@@ -128,8 +157,11 @@ def sample_pixels(data: SceneData, spec: SceneSpec, px, py, sample_ids,
                            piy.astype(jnp.uint32), aa.astype(jnp.uint32),
                            cam)
     ro, rd = project(data, spec, pos_x, pos_y, k1, k2)
-    rad = radiance(data, spec, ro, rd, k1, k2)
-    return rad.reshape(p, s * c, 3).mean(axis=1)
+    rad = radiance_v(data, spec, ro, rd, k1, k2)
+    out = V3(rad.x.reshape(p, s * c).mean(axis=1),
+             rad.y.reshape(p, s * c).mean(axis=1),
+             rad.z.reshape(p, s * c).mean(axis=1))
+    return vec.pack(out)
 
 
 @partial(jax.jit, static_argnames=("spec", "seed"))

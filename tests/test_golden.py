@@ -1,0 +1,71 @@
+"""Statistical golden-image parity vs the reference's committed render.
+
+The reference's RNG is time-seeded (main.rs:43), so bitwise parity with
+``out.bmp`` is impossible by construction; the meaningful contract
+(SURVEY.md §4) is *statistical*: our Monte-Carlo estimator must converge
+to the same image.  We render the golden scene at reduced resolution and
+compare block means against the downsampled golden image within the MC
+error budget.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from raytrace_tpu import color as colorlib
+from raytrace_tpu.io.bmp import read_bmp
+from raytrace_tpu.render.integrator import render_image
+from raytrace_tpu.scene import dsl
+from raytrace_tpu.scene.builder import build_scene
+
+GOLDEN = "/root/reference/out.bmp"
+REF_SCENE = open("/root/reference/test_scene.txt").read()
+
+
+@pytest.mark.slow
+def test_golden_statistical_parity():
+    # golden: 800x800 sRGB -> linear -> 16x16 block means => (50,50)
+    ref = read_bmp(GOLDEN)
+    ref_lin = colorlib.SRGB_VALUES[ref]
+    ref_ds = ref_lin.reshape(50, 16, 50, 16, 3).mean((1, 3))
+
+    sc = build_scene(dsl.parse(REF_SCENE), dtype=jnp.float32)
+    sc = dataclasses.replace(
+        sc, spec=dataclasses.replace(sc.spec, width=50, height=50))
+    ours = np.clip(np.asarray(render_image(sc, seed=11, spp=512)), 0, 1)
+    ours2 = np.clip(np.asarray(render_image(sc, seed=77, spp=512)), 0, 1)
+
+    # compare in tone-mapped space (the emitter is unbounded linear; the
+    # golden artifact clips at sRGB 255 = linear 1.0)
+    ref_c = np.clip(ref_ds, 0, 1)
+
+    # noise-limited: the distance to the golden image must not exceed
+    # the distance between two of our own renders with different seeds
+    # (x1.15 slack) — i.e. all remaining error is Monte-Carlo variance
+    noise_floor = np.abs(ours - ours2).mean()
+    assert np.abs(ours - ref_c).mean() < noise_floor * 1.15, (
+        np.abs(ours - ref_c).mean(), noise_floor)
+
+    # unbiased: per-channel and global means converge to the golden's
+    assert np.abs((ours - ref_c).mean((0, 1))).max() < 0.01
+    assert abs(ours.mean() - ref_c.mean()) < 0.005
+
+    # structural checks on exact features
+    # bottom-left quadrant wall is red-dominant, bottom-right green-dominant
+    left = ours[10:40, 2:8].mean((0, 1))
+    right = ours[10:40, 42:48].mean((0, 1))
+    assert left[0] > left[1] * 1.5, left
+    assert right[1] > right[0] * 1.5, right
+    # emitter cap: the clipped-bright plateau makes argmax noisy, so
+    # compare the *centroid* of the top-2% brightest pixels instead
+    def bright_centroid(im):
+        g = im.mean(-1)
+        thresh = np.percentile(g, 98)
+        ys, xs = np.nonzero(g >= thresh)
+        return ys.mean(), xs.mean()
+
+    (ry, rx), (oy, ox) = bright_centroid(ref_c), bright_centroid(ours)
+    assert abs(ry - oy) <= 2.5, (ry, oy)
+    assert abs(rx - ox) <= 2.5, (rx, ox)
