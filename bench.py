@@ -42,9 +42,10 @@ def main():
     data = sc.data
     levels = spec.max_depth + 2  # intersect rounds per primary sample
 
-    # one launch: P pixels x S samples
-    n_pix = 1 << 15
-    n_s = 8
+    # one launch: P pixels x S samples; ~2M lanes saturates the chip
+    # (measured: 262k lanes -> 202M rays/s, 2M lanes -> 741M rays/s)
+    n_pix = 1 << 17
+    n_s = 16
     pix = np.arange(n_pix, dtype=np.uint32)
     px = jnp.asarray(pix % spec.width)
     py = jnp.asarray(pix // spec.width)

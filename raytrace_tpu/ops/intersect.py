@@ -107,6 +107,146 @@ def _object_t(data: SceneData, spec: SceneSpec, i: int, ro: V3, rd: V3,
     return t, ok & (t > 0.0)
 
 
+# above this object count the statically unrolled loop gives way to a
+# lax.scan over object chunks (compile size stays O(1) in scene size)
+LARGE_SCENE_THRESHOLD = 64
+_SCAN_CHUNK = 16
+
+
+def _typed_geometry(data: SceneData, spec: SceneSpec):
+    """Static type partition: (sphere idx, plane idx) as np arrays."""
+    st = np.asarray(spec.shape_type)
+    return np.nonzero(st == SHAPE_SPHERE)[0], np.nonzero(st == SHAPE_PLANE)[0]
+
+
+def _scan_min(t_best, obj, hit, params, ids, body, n_like):
+    """Scan ``body`` over chunks of the object axis, carrying the
+    running (t_best, obj, hit).  params: (O, K) rows; ids: (O,) int32
+    global object indices.  Chunks are padded with id = -1 (masked)."""
+    o = params.shape[0]
+    pad = (-o) % _SCAN_CHUNK
+    if pad:
+        params = jnp.concatenate(
+            [params, jnp.zeros((pad, params.shape[1]), params.dtype)])
+        ids = jnp.concatenate([ids, jnp.full(pad, -1, jnp.int32)])
+    params = params.reshape(-1, _SCAN_CHUNK, params.shape[1])
+    ids = ids.reshape(-1, _SCAN_CHUNK)
+
+    def step(carry, xs):
+        t_b, ob, h = carry
+        rows, rid = xs
+        for c in range(_SCAN_CHUNK):
+            t_i, v_i = body(rows[c])
+            v_i = v_i & (rid[c] >= 0)
+            t_i = jnp.where(v_i, t_i, jnp.inf)
+            better = t_i < t_b
+            t_b = jnp.where(better, t_i, t_b)
+            ob = jnp.where(better, rid[c], ob)
+            h = h | v_i
+        return (t_b, ob, h), None
+
+    (t_best, obj, hit), _ = jax.lax.scan(
+        step, (t_best, obj, hit), (params, ids))
+    return t_best, obj, hit
+
+
+def _scan_all_objects(data: SceneData, spec: SceneSpec, ro: V3, rd: V3, a):
+    """Running-min over all objects via lax.scan (large scenes)."""
+    n_like = ro.x
+    sph, pln = _typed_geometry(data, spec)
+    t_best = jnp.full_like(n_like, jnp.inf)
+    obj = jnp.zeros(n_like.shape, jnp.int32)
+    hit = jnp.zeros(n_like.shape, bool)
+
+    if len(sph):
+        rows = jnp.concatenate(
+            [data.prim_p[sph], data.prim_q[sph, 0:1]], axis=1)  # (S, 4)
+        ids = jnp.asarray(sph.astype(np.int32))
+
+        def sphere_body(row):
+            oc = ro - V3(row[0], row[1], row[2])
+            b = 2.0 * dot(rd, oc)
+            cc = dot(oc, oc) - row[3] * row[3]
+            disc = b * b - 4.0 * a * cc
+            has = disc > 0.0
+            sq = jnp.sqrt(jnp.where(has, disc, 1.0))
+            inv2a = 0.5 / a
+            t1 = (-b - sq) * inv2a
+            t2 = (-b + sq) * inv2a
+            t = jnp.where(t1 > 0.0, t1, t2)
+            return t, has & (t > 0.0)
+
+        t_best, obj, hit = _scan_min(t_best, obj, hit, rows, ids,
+                                     sphere_body, n_like)
+
+    if len(pln):
+        rows = jnp.concatenate(
+            [data.prim_p[pln], data.prim_q[pln]], axis=1)       # (P, 6)
+        ids = jnp.asarray(pln.astype(np.int32))
+
+        def plane_body(row):
+            nrm = V3(row[3], row[4], row[5])
+            p_dot_n = row[0] * row[3] + row[1] * row[4] + row[2] * row[5]
+            denom = dot(rd, nrm)
+            numer = p_dot_n - dot(ro, nrm)
+            ok = denom != 0.0
+            t = numer / jnp.where(ok, denom, 1.0)
+            return t, ok & (t > 0.0)
+
+        t_best, obj, hit = _scan_min(t_best, obj, hit, rows, ids,
+                                     plane_body, n_like)
+    return t_best, obj, hit
+
+
+def _closest_hit_scanned(data: SceneData, spec: SceneSpec, ro: V3,
+                         rd: V3) -> HitRec:
+    """Large-scene closest hit: scan + one packed-table row gather.
+
+    The winning object's parameters come from a single ``take`` of a
+    packed (O, 20) table — one gather per level instead of per-object
+    selects, the right trade once O is large.
+    """
+    dtype = ro.x.dtype
+    a = dot(rd, rd)
+    t_best, obj, hit = _scan_all_objects(data, spec, ro, rd, a)
+
+    mts = np.asarray(spec.mat_type, np.int32)
+    sts = np.asarray(spec.shape_type, np.int32)
+    flags = np.stack([mts == MAT_FRESNEL, mts == MAT_TRANSPARENT,
+                      mts == MAT_INDIRECT_PHONG,
+                      sts == SHAPE_SPHERE], 1).astype(np.float32)
+    table = jnp.concatenate([
+        data.prim_p, data.prim_q,                       # 0:3, 3:6
+        data.mat_diffuse, data.mat_specular,            # 6:9, 9:12
+        data.mat_ambient,                               # 12:15
+        data.mat_exponent[:, None], data.mat_ior[:, None],
+        data.mat_samples[:, None],                      # 15, 16, 17
+        jnp.asarray(flags, dtype),                      # 18:22
+    ], axis=1)
+    rows = jnp.take(table, obj, axis=0)                 # (N, 22)
+
+    t_safe = jnp.where(hit, t_best, 0.0)
+    pt = ro + rd.scale(t_safe)
+    rel = pt - V3(rows[:, 0], rows[:, 1], rows[:, 2])
+    nrm2 = dot(rel, rel)
+    inv = jax.lax.rsqrt(jnp.where(nrm2 > 0, nrm2, 1.0))
+    is_sph = rows[:, 21] > 0.5
+    normal = V3(jnp.where(is_sph, rel.x * inv, rows[:, 3]),
+                jnp.where(is_sph, rel.y * inv, rows[:, 4]),
+                jnp.where(is_sph, rel.z * inv, rows[:, 5]))
+
+    return HitRec(
+        t=t_best, hit=hit, obj=obj, normal=normal,
+        diffuse=V3(rows[:, 6], rows[:, 7], rows[:, 8]),
+        specular=V3(rows[:, 9], rows[:, 10], rows[:, 11]),
+        ambient=V3(rows[:, 12], rows[:, 13], rows[:, 14]),
+        exponent=rows[:, 15],
+        ior=jnp.where(hit, rows[:, 16], 1.0),  # miss lanes: finite ior
+        msamples=rows[:, 17],
+        is_fresnel=rows[:, 18] > 0.5, is_transp=rows[:, 19] > 0.5,
+        is_indirect=rows[:, 20] > 0.5)
+
+
 def closest_hit(data: SceneData, spec: SceneSpec, ro: V3, rd: V3) -> HitRec:
     """Closest-hit query + material row selection (scene.rs:247-249)."""
     dtype = ro.x.dtype
@@ -115,6 +255,9 @@ def closest_hit(data: SceneData, spec: SceneSpec, ro: V3, rd: V3) -> HitRec:
 
     mts = np.asarray(spec.mat_type, np.int32)
     live_obj = [i for i in range(spec.n_objects) if spec.shape_type[i] >= 0]
+
+    if len(live_obj) > LARGE_SCENE_THRESHOLD:
+        return _closest_hit_scanned(data, spec, ro, rd)
 
     t_best = jnp.full_like(n_like, jnp.inf)
     hit = jnp.zeros(n_like.shape, bool)
@@ -195,6 +338,12 @@ def occluded_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
     inside range?  Equivalent to the reference's closest-hit test but
     min-free (see module docstring)."""
     a = dot(rd, rd)
+    n_live = sum(1 for t in spec.shape_type if t >= 0)
+    if n_live > LARGE_SCENE_THRESHOLD:
+        t_best, _, hit = _scan_all_objects(data, spec, ro, rd, a)
+        if has_range:
+            return hit & (t_best * t_best < sq_range)
+        return hit
     blocked = jnp.zeros(ro.x.shape, bool)
     for i in range(spec.n_objects):
         if spec.shape_type[i] < 0:

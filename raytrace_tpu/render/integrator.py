@@ -171,12 +171,19 @@ def _render_tile(data, spec, px, py, sample_ids, seed):
 
 def _s_p_launch(spec: SceneSpec, aa: int, max_lanes: int):
     """Pick (samples, pixels) per launch so the wavefront's widest level
-    (N * B^(max_depth+1) lanes) stays within the device lane budget."""
+    (N * B^(max_depth+1) lanes) stays within the device lane budget —
+    and *fills* that budget: TPU throughput rises ~3.5x from 262k to 2M
+    lanes per launch, so small images take more samples per launch."""
     b = max(spec.children_per_ray, 1)
     widest = b ** (spec.max_depth + 1)
     lane_budget = max(max_lanes // (widest * spec.cam_samples), 1)
-    s_launch = min(aa, max(lane_budget // 256, 1))
-    p_launch = max(lane_budget // s_launch, 1)
+    n_pix = spec.width * spec.height
+    if n_pix <= lane_budget:
+        p_launch = n_pix
+        s_launch = min(aa, max(lane_budget // n_pix, 1))
+    else:
+        p_launch = lane_budget
+        s_launch = 1
     return s_launch, p_launch
 
 
