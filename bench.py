@@ -4,10 +4,19 @@ Metric (BASELINE.json): rays/sec/chip at 1024^2, depth-4 bounces — one
 "ray" = one scene-intersection round of a wavefront lane (the golden
 scene traces max_depth+2 = 6 per primary sample, BASELINE.md).
 
+Measurement methodology: the launch loop runs *inside* jit as a
+``lax.fori_loop`` whose body input varies per iteration and whose
+output feeds a scalar sum fetched at the end — so every launch really
+executes on device, in order, with no host round-trips.  Throughput is
+the *marginal* cost between a K1-launch and a K2-launch chain, which
+cancels the fixed dispatch + transfer + fetch overhead (timing
+individual async dispatches through a remote-device tunnel is
+unreliable: result caching and lazy queues both inflate numbers).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is measured against the reference's own workload ground
 truth: the reference publishes no numbers (BASELINE.md), so the anchor
-is REF_CPU_RAYS_PER_SEC, the rust binary's measured single-thread
+is REF_CPU_RAYS_PER_SEC, the rust binary's estimated single-thread
 throughput (see BASELINE.md §"de novo"); update it if re-measured.
 """
 
@@ -15,6 +24,7 @@ import dataclasses
 import json
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -30,7 +40,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from raytrace_tpu.scene.builder import load_scene_file
-    from raytrace_tpu.render.integrator import _render_tile
+    from raytrace_tpu.render.integrator import sample_pixels
     from raytrace_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
@@ -42,8 +52,8 @@ def main():
     data = sc.data
     levels = spec.max_depth + 2  # intersect rounds per primary sample
 
-    # one launch: P pixels x S samples; ~2M lanes saturates the chip
-    # (measured: 262k lanes -> 202M rays/s, 2M lanes -> 741M rays/s)
+    # one launch: 2M lanes saturates the chip (smaller launches leave
+    # VPU utilization on the table; measured sweep in PROGRESS notes)
     n_pix = 1 << 17
     n_s = 16
     pix = np.arange(n_pix, dtype=np.uint32)
@@ -51,19 +61,33 @@ def main():
     py = jnp.asarray(pix // spec.width)
     sids = jnp.arange(n_s, dtype=jnp.uint32)
 
-    # compile + warm up
-    out = _render_tile(data, spec, px, py, sids, 0)
-    out.block_until_ready()
+    @partial(jax.jit, static_argnames=("k",))
+    def chain(px, py, k):
+        def body(i, acc):
+            o = sample_pixels(data, spec, (px + i) % spec.width, py, sids, 0)
+            return acc + jnp.sum(o)
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-    reps = 5
-    t0 = time.perf_counter()
+    # every timed call gets fresh inputs: a remote-device tunnel may
+    # serve repeated (executable, args) pairs from cache.  Medians of
+    # interleaved reps make the k2-k1 difference robust to per-call
+    # latency outliers.
+    k1, k2, reps = 4, 20, 5
+    for k in (k1, k2):
+        chain(px, py, k).block_until_ready()   # compile + warm
+    times = {k1: [], k2: []}
+    bias = 0
     for _ in range(reps):
-        out = _render_tile(data, spec, px, py, sids, 0)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
+        for k in (k1, k2):
+            bias += 1
+            t0 = time.perf_counter()
+            float(chain(px + bias, py, k))
+            times[k].append(time.perf_counter() - t0)
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    per_launch = (med(times[k2]) - med(times[k1])) / (k2 - k1)
 
     primary = n_pix * n_s * spec.cam_samples
-    rays_per_sec = primary * levels / dt
+    rays_per_sec = primary * levels / per_launch
     print(json.dumps({
         "metric": "rays_per_sec_per_chip_1024sq_depth4",
         "value": round(rays_per_sec),

@@ -52,6 +52,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
 import jax.numpy as jnp
 
 from raytrace_tpu.models.lights import light_dir_and_sq_range
@@ -143,7 +144,7 @@ def shade(data: SceneData, spec: SceneSpec, ro: V3, rd: V3, hit: HitRec,
 
     # ---- direct lighting (static loop over lights) ----
     shaded = live & hit.hit
-    inv_pi = jnp.asarray(1.0 / jnp.pi, dtype)
+    inv_pi = np.asarray(1.0 / np.pi, dtype)
     for li, lt in enumerate(spec.light_type):
         ldir, sqr, has_range = light_dir_and_sq_range(
             data, lt, li, pt, k1, k2, dtype)

@@ -284,11 +284,11 @@ def closest_hit(data: SceneData, spec: SceneSpec, ro: V3, rd: V3) -> HitRec:
             ab=data.mat_ambient[i, 2],
             exp=data.mat_exponent[i], ior=data.mat_ior[i],
             ms=data.mat_samples[i],
-            sph=jnp.asarray(1.0 if is_sph else 0.0, dtype),
-            fre=jnp.asarray(1.0 if mts[i] == MAT_FRESNEL else 0.0, dtype),
-            tra=jnp.asarray(1.0 if mts[i] == MAT_TRANSPARENT else 0.0, dtype),
-            ind=jnp.asarray(1.0 if mts[i] == MAT_INDIRECT_PHONG else 0.0,
-                            dtype),
+            sph=np.asarray(1.0 if is_sph else 0.0, dtype),
+            fre=np.asarray(1.0 if mts[i] == MAT_FRESNEL else 0.0, dtype),
+            tra=np.asarray(1.0 if mts[i] == MAT_TRANSPARENT else 0.0, dtype),
+            ind=np.asarray(1.0 if mts[i] == MAT_INDIRECT_PHONG else 0.0,
+                           dtype),
         )
         if sel is None:
             # unconditionally adopt the first object's row: miss lanes

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Purpose ids — one independent stream family per use site.
 PURPOSE_AA_X = 0       # main.rs:51 jitter
@@ -46,15 +47,24 @@ PURPOSE_LIGHT_V = 65     # scene.rs:153 (area light, second draw)
 PURPOSE_INDIRECT_R1 = 1 << 16  # raytrace.rs:101
 PURPOSE_INDIRECT_R2 = (1 << 16) + 1  # raytrace.rs:102
 
-_GAMMA = jnp.uint32(0x9E3779B9)  # golden-ratio increment
+_GAMMA = np.uint32(0x9E3779B9)  # golden-ratio increment
 
 
 def _mix32(x: jnp.ndarray) -> jnp.ndarray:
     """splitmix32 finalizer: a high-quality 32-bit bijective mixer."""
-    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
-    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    x = (x ^ (x >> 16)) * np.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * np.uint32(0x846CA68B)
     x = x ^ (x >> 16)
     return x
+
+
+def _seed_u32(seed):
+    """Seed -> uint32, preserving static Python ints as numpy scalars
+    (a jnp constant would be closure-captured by Pallas kernels) while
+    still accepting traced seeds (sharded/optimizer paths)."""
+    if isinstance(seed, (int, np.integer)):
+        return np.uint32(seed)
+    return seed.astype(jnp.uint32)
 
 
 def hash_words(seed: int | jnp.ndarray, *words: jnp.ndarray) -> jnp.ndarray:
@@ -63,19 +73,26 @@ def hash_words(seed: int | jnp.ndarray, *words: jnp.ndarray) -> jnp.ndarray:
     ``words`` broadcast against each other; each is absorbed with a
     distinct golden-ratio offset then mixed, sponge-style.
     """
-    h = jnp.uint32(seed) ^ jnp.uint32(0x243F6A88)  # pi fractional bits
+    h = _seed_u32(seed) ^ np.uint32(0x243F6A88)  # pi fractional bits
     for i, w in enumerate(words):
-        h = _mix32(h + w.astype(jnp.uint32) + _GAMMA * jnp.uint32(2 * i + 1))
+        h = _mix32(h + w.astype(jnp.uint32)
+                   + np.uint32((0x9E3779B9 * (2 * i + 1)) & 0xFFFFFFFF))
     return _mix32(h)
+
+
+def to_float(u: jnp.ndarray, dtype) -> jnp.ndarray:
+    """uint32 -> float cast for values < 2**31, via int32 (Mosaic has no
+    direct uint32->float lowering; int32->float is supported)."""
+    return u.astype(jnp.int32).astype(dtype)
 
 
 def uniform_from_bits(bits: jnp.ndarray, dtype) -> jnp.ndarray:
     """Map uint32 bits to uniforms in [0, 1)."""
     if jnp.dtype(dtype) == jnp.float64:
-        hi = (bits >> jnp.uint32(6)).astype(jnp.float64)  # 26 bits
-        lo = _mix32(bits + _GAMMA) >> jnp.uint32(5)       # 27 bits
-        return (hi * (1 << 27) + lo.astype(jnp.float64)) * (2.0 ** -53)
-    return (bits >> jnp.uint32(8)).astype(dtype) * jnp.asarray(2.0 ** -24, dtype)
+        hi = to_float(bits >> np.uint32(6), jnp.float64)  # 26 bits
+        lo = _mix32(bits + _GAMMA) >> np.uint32(5)       # 27 bits
+        return (hi * (1 << 27) + to_float(lo, jnp.float64)) * (2.0 ** -53)
+    return to_float(bits >> np.uint32(8), dtype) * np.asarray(2.0 ** -24, dtype)
 
 
 def u01(seed, *words, dtype=jnp.float32, backend: str = "mix") -> jnp.ndarray:
@@ -85,7 +102,7 @@ def u01(seed, *words, dtype=jnp.float32, backend: str = "mix") -> jnp.ndarray:
     return uniform_from_bits(hash_words(seed, *words), dtype)
 
 
-_GAMMA2 = jnp.uint32(0xBB67AE85)  # sqrt(3) fractional bits
+_GAMMA2 = np.uint32(0xBB67AE85)  # sqrt(3) fractional bits
 
 
 def make_keys(seed: int, *words: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -96,21 +113,23 @@ def make_keys(seed: int, *words: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]
     that stream collisions are negligible even at billions of wavefront
     nodes (a single 32-bit id would collide constantly at 655M primary
     samples/frame, BASELINE.md)."""
-    k1 = hash_words(jnp.uint32(seed) ^ jnp.uint32(0x243F6A88), *words)
-    k2 = hash_words(jnp.uint32(seed) ^ jnp.uint32(0x85A308D3), *words)
+    k1 = hash_words(_seed_u32(seed) ^ np.uint32(0x243F6A88), *words)
+    k2 = hash_words(_seed_u32(seed) ^ np.uint32(0x85A308D3), *words)
     return k1, k2
 
 
 def derive(k1: jnp.ndarray, k2: jnp.ndarray, slot: int):
     """Child-stream derivation for wavefront branching: each child slot
     (reflect / refract / indirect sample k) gets an independent stream."""
-    s = jnp.uint32(slot + 1)
-    return (_mix32(k1 + _GAMMA * s), _mix32(k2 ^ (_GAMMA2 * s)))
+    s = np.uint32(slot + 1)
+    return (_mix32(k1 + np.uint32((0x9E3779B9 * int(s)) & 0xFFFFFFFF)),
+            _mix32(k2 ^ np.uint32((0xBB67AE85 * int(s)) & 0xFFFFFFFF)))
 
 
 def draw(k1: jnp.ndarray, k2: jnp.ndarray, purpose: int, dtype) -> jnp.ndarray:
     """One uniform [0,1) draw from stream (k1,k2) for a static purpose id."""
-    bits = _mix32(k1 ^ _mix32(k2 + _GAMMA * jnp.uint32(purpose + 1)))
+    bits = _mix32(k1 ^ _mix32(
+        k2 + np.uint32((0x9E3779B9 * (purpose + 1)) & 0xFFFFFFFF)))
     return uniform_from_bits(bits, dtype)
 
 

@@ -56,6 +56,46 @@ def _flatten_slots(parts):
     return jnp.stack(parts, axis=1).reshape(-1)
 
 
+def radiance_linear_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
+                      k1, k2, significance=None) -> V3:
+    """Radiance chain for scenes whose wavefront never fans out
+    (``spec.children_per_ray <= 1`` — e.g. the golden scene's single
+    indirect slot, or pure mirror-Phong scenes).
+
+    Unlike :func:`radiance_v` this is *shape-agnostic*: every op is
+    elementwise over whatever shape ``ro.x`` has, with no reshapes —
+    which is what lets the Pallas megakernel
+    (:mod:`raytrace_tpu.render.megakernel`) run the exact same code on
+    2D ``(rows, 128)`` register blocks inside VMEM.
+    """
+    dtype = ro.x.dtype
+    sig = (jnp.ones_like(ro.x) if significance is None
+           else jnp.broadcast_to(significance, ro.x.shape).astype(dtype))
+    live = jnp.ones(ro.x.shape, bool)
+    tp = vec.full_like(sig, 1.0)
+    acc = vec.full_like(sig, 0.0)
+
+    for depth in range(spec.max_depth + 2):
+        hit = closest_hit(data, spec, ro, rd)
+        emit, children = shade(data, spec, ro, rd, hit, sig, live, k1, k2,
+                               depth)
+        assert len(children) <= 1, "use radiance_v for fan-out scenes"
+        bg = background_color_v(data, spec, rd)
+        local = vec.where(hit.hit, emit, bg)
+        contrib = vec.where(live, tp.mul(local), vec.full_like(sig, 0.0))
+        acc = acc + contrib
+
+        if not children:
+            break
+        c = children[0]
+        ro, rd, sig, live = c.ro, c.rd, c.sig, c.live
+        tp = tp.mul(c.weight)
+        tp = vec.where(live, tp, vec.full_like(sig, 0.0))
+        k1, k2 = rng.derive(k1, k2, c.slot)
+
+    return acc
+
+
 def radiance_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3, k1, k2,
                significance=None) -> V3:
     """Radiance for a batch of primary rays — ``ray_color`` for a
@@ -65,6 +105,8 @@ def radiance_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3, k1, k2,
     significance: initial per-ray significance (default 1.0, main.rs:54).
     Returns V3 of (N,) linear radiance components.
     """
+    if spec.children_per_ray <= 1:
+        return radiance_linear_v(data, spec, ro, rd, k1, k2, significance)
     n = ro.x.shape[0]
     dtype = ro.x.dtype
     sig = (jnp.ones(n, dtype) if significance is None
@@ -114,6 +156,42 @@ def radiance(data: SceneData, spec: SceneSpec, ro, rd, k1, k2,
     return vec.pack(out)
 
 
+def primary_rays(data: SceneData, spec: SceneSpec, pix, piy, aa, cam,
+                 seed: int):
+    """Jittered primary rays for per-lane (pixel-x, pixel-y, aa-sample,
+    lens-sample) integer identity arrays — the NDC transform of
+    main.rs:39-53 plus the camera projection, shape-agnostic (used on 1D
+    lane vectors by :func:`sample_pixels` and on 2D register blocks by
+    the Pallas megakernel).
+
+    Returns ``(ro: V3, rd: V3, k1, k2)`` where k1/k2 are the per-lane
+    RNG streams (the lens index already folded in).
+    """
+    dtype = data.prim_p.dtype
+
+    pix = pix.astype(jnp.uint32)
+    piy = piy.astype(jnp.uint32)
+    aa = aa.astype(jnp.uint32)
+    cam = cam.astype(jnp.uint32)
+
+    # jitter streams keyed by (x, y, aa) only — shared across lens samples
+    jk1, jk2 = rng.make_keys(seed, pix, piy, aa)
+    u = rng.draw(jk1, jk2, rng.PURPOSE_AA_X, dtype)
+    v = rng.draw(jk1, jk2, rng.PURPOSE_AA_Y, dtype)
+
+    # NDC transform (main.rs:39-53): unit square inscribed in the image
+    halfw = spec.width / 2.0
+    halfh = spec.height / 2.0
+    scale = max(1.0 / halfw, 1.0 / halfh)
+    pos_x = ((rng.to_float(pix, dtype) + u) - halfw) * scale
+    pos_y = ((rng.to_float(piy, dtype) + v) - halfh) * scale
+
+    # full per-lane streams fold in the lens sample index
+    k1, k2 = rng.make_keys(seed, pix, piy, aa, cam)
+    ro, rd = project(data, spec, pos_x, pos_y, k1, k2)
+    return ro, rd, k1, k2
+
+
 def sample_pixels(data: SceneData, spec: SceneSpec, px, py, sample_ids,
                   seed: int) -> jnp.ndarray:
     """Render a set of samples for a batch of pixels — the TPU-native
@@ -139,25 +217,14 @@ def sample_pixels(data: SceneData, spec: SceneSpec, px, py, sample_ids,
     aa = jnp.tile(jnp.repeat(sample_ids, c), p)
     cam = jnp.tile(jnp.arange(c, dtype=jnp.uint32), p * s)
 
-    # jitter streams keyed by (x, y, aa) only — shared across lens samples
-    jk1, jk2 = rng.make_keys(seed, pix.astype(jnp.uint32),
-                             piy.astype(jnp.uint32), aa.astype(jnp.uint32))
-    u = rng.draw(jk1, jk2, rng.PURPOSE_AA_X, dtype)
-    v = rng.draw(jk1, jk2, rng.PURPOSE_AA_Y, dtype)
-
-    # NDC transform (main.rs:39-53): unit square inscribed in the image
-    halfw = spec.width / 2.0
-    halfh = spec.height / 2.0
-    scale = max(1.0 / halfw, 1.0 / halfh)
-    pos_x = ((pix.astype(dtype) + u) - halfw) * scale
-    pos_y = ((piy.astype(dtype) + v) - halfh) * scale
-
-    # full per-lane streams fold in the lens sample index
-    k1, k2 = rng.make_keys(seed, pix.astype(jnp.uint32),
-                           piy.astype(jnp.uint32), aa.astype(jnp.uint32),
-                           cam)
-    ro, rd = project(data, spec, pos_x, pos_y, k1, k2)
-    rad = radiance_v(data, spec, ro, rd, k1, k2)
+    from raytrace_tpu.render import megakernel
+    # traced seeds (per-step optimizer reseeding) can't parameterize the
+    # kernel's closure; they take the jnp path
+    if isinstance(seed, (int, np.integer)) and megakernel.usable(data, spec):
+        rad = megakernel.radiance_lanes(data, spec, pix, piy, aa, cam, seed)
+    else:
+        ro, rd, k1, k2 = primary_rays(data, spec, pix, piy, aa, cam, seed)
+        rad = radiance_v(data, spec, ro, rd, k1, k2)
     out = V3(rad.x.reshape(p, s * c).mean(axis=1),
              rad.y.reshape(p, s * c).mean(axis=1),
              rad.z.reshape(p, s * c).mean(axis=1))

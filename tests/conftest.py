@@ -24,6 +24,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # f64 available for parity tests
 
+# CPU wavefront programs take seconds-to-minutes to compile; cache them
+# across runs (keyed on jaxpr, so source edits invalidate precisely)
+from raytrace_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(os.path.join(os.path.dirname(__file__), "..",
+                                  ".jax_cache_cpu"))
+
 assert jax.default_backend() == "cpu", (
     "tests must run on the virtual CPU mesh, got " + jax.default_backend())
 assert jax.device_count() == 8

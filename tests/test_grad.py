@@ -33,6 +33,10 @@ SCENE = """{
 
 def _setup():
     sc = build_scene(dsl.parse(SCENE), dtype=jnp.float64)
+    # max_depth=2 (3 shaded levels: direct + mirror + mirror^2) exercises
+    # every gradient path while keeping the unrolled-AD compile small
+    sc = dataclasses.replace(
+        sc, spec=dataclasses.replace(sc.spec, max_depth=2))
     w, h = sc.spec.width, sc.spec.height
     pix = np.arange(w * h, dtype=np.uint32)
     px, py = jnp.asarray(pix % w), jnp.asarray(pix // w)
