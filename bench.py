@@ -28,12 +28,13 @@ from functools import partial
 
 import numpy as np
 
-# Anchor: the reference Rust binary is single-thread scalar f64; typical
-# measured throughput for its 7-object scene is ~5-10M scene-intersections
-# /sec on one modern CPU core.  Rust is unavailable in this image, so the
-# anchor uses the oracle-calibrated estimate below (conservative, high
-# end) until a direct measurement can replace it.
-REF_CPU_RAYS_PER_SEC = 10.0e6
+# Anchor: the reference Rust binary is single-thread scalar f64.  Rust
+# is unavailable in this image, so the anchor was MEASURED with a
+# faithful C++ stand-in (native/ref_anchor.cpp: same recursion, same
+# golden-scene math per bounce, same xorshift128 RNG; g++ -O2
+# -march=native, this machine's CPU): 8.51M scene-intersections/sec,
+# radiance mean cross-checked against this renderer (0.433 vs 0.441).
+REF_CPU_RAYS_PER_SEC = 8.5e6
 
 
 def main():

@@ -99,8 +99,7 @@ def shade(data: SceneData, spec: SceneSpec, ro: V3, rd: V3, hit: HitRec,
     is_fresnel, is_transp, is_indirect = (hit.is_fresnel, hit.is_transp,
                                           hit.is_indirect)
 
-    t_safe = jnp.where(hit.hit, hit.t, 0.0)
-    pt = ro + rd.scale(t_safe)
+    pt = hit.pt    # surface-snapped hit point (ops/intersect.py)
     nd = dot(hit.normal, rd)              # raw-normal cosine (unflipped)
     flip = nd > 0
     n_f = vec.where(flip, -hit.normal, hit.normal)

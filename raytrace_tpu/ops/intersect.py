@@ -36,7 +36,17 @@ Documented divergences (guarded edge cases, SURVEY.md §2 #4):
 * a ray exactly parallel to a plane gives ``t = ±inf`` (or NaN when also
   contained in the plane) in the reference; both are measure-zero float
   accidents, rejected here (``denominator == 0`` => miss) to keep
-  gradients finite.
+  gradients finite;
+
+* hit points are **snapped onto the analytic surface** before shading
+  (sphere: ``c + r * unit(pt - c)``; plane: ``pt`` minus its normal
+  distance).  In f64 this is the identity to ~1e-16, i.e. reference
+  semantics are preserved bit-for-noise; in f32 it is load-bearing: the
+  raw ``ro + rd * t`` reconstruction carries ``O(|ro|) * eps_f32 ~ 2e-5``
+  of error — *larger* than the reference's fixed 1e-5 secondary-ray
+  offset (raytrace.rs:43,62,108) — so secondary rays could start inside
+  spheres and spuriously self-intersect, visibly darkening sphere
+  regions (measured: ~15/255 sRGB in the golden image's sphere area).
 
 Differentiability: the winning object *selection* is discrete (no
 gradient, = subgradient semantics at visibility silhouettes); ``t``,
@@ -53,6 +63,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from raytrace_tpu.ops import vec
 from raytrace_tpu.ops.vec import V3, dot, pack, splat
 from raytrace_tpu.scene.schema import (
     MAT_FRESNEL, MAT_INDIRECT_PHONG, MAT_TRANSPARENT, SHAPE_PLANE,
@@ -66,6 +77,7 @@ class HitRec(NamedTuple):
     hit: jnp.ndarray       # bool
     obj: jnp.ndarray       # int32 winning object (scene-file order)
     normal: V3             # geometric normal (reference semantics)
+    pt: V3                 # hit point, snapped onto the analytic surface
     # winning object's material row (selected during the min loop)
     diffuse: V3
     specular: V3
@@ -105,6 +117,26 @@ def _object_t(data: SceneData, spec: SceneSpec, i: int, ro: V3, rd: V3,
     ok = denom != 0.0
     t = numer / jnp.where(ok, denom, 1.0)
     return t, ok & (t > 0.0)
+
+
+def _snapped_point(pt: V3, rel: V3, inv, is_sph, radius, nrm: V3,
+                   p0: V3) -> V3:
+    """Project the reconstructed hit point onto the winning object's
+    analytic surface (see module docstring: f32 robustness, f64 no-op).
+
+    ``rel = pt - center``, ``inv = 1/|rel|`` (sphere lanes); ``nrm``/
+    ``p0`` are the plane's stored normal and point (plane lanes).
+    """
+    # sphere: center + radius * unit(rel)
+    k = radius * inv
+    sph = V3(pt.x - rel.x + rel.x * k,
+             pt.y - rel.y + rel.y * k,
+             pt.z - rel.z + rel.z * k)
+    # plane: pt - n * ((pt - p0).n / n.n)
+    nn = dot(nrm, nrm)
+    dist = (dot(pt, nrm) - dot(p0, nrm)) / jnp.where(nn > 0, nn, 1.0)
+    pln = pt - nrm.scale(jnp.where(nn > 0, dist, 0.0))
+    return vec.where(is_sph, sph, pln)
 
 
 # above this object count the statically unrolled loop gives way to a
@@ -234,9 +266,12 @@ def _closest_hit_scanned(data: SceneData, spec: SceneSpec, ro: V3,
     normal = V3(jnp.where(is_sph, rel.x * inv, rows[:, 3]),
                 jnp.where(is_sph, rel.y * inv, rows[:, 4]),
                 jnp.where(is_sph, rel.z * inv, rows[:, 5]))
+    pt = _snapped_point(pt, rel, inv, is_sph, rows[:, 3],
+                        V3(rows[:, 3], rows[:, 4], rows[:, 5]),
+                        V3(rows[:, 0], rows[:, 1], rows[:, 2]))
 
     return HitRec(
-        t=t_best, hit=hit, obj=obj, normal=normal,
+        t=t_best, hit=hit, obj=obj, normal=normal, pt=pt,
         diffuse=V3(rows[:, 6], rows[:, 7], rows[:, 8]),
         specular=V3(rows[:, 9], rows[:, 10], rows[:, 11]),
         ambient=V3(rows[:, 12], rows[:, 13], rows[:, 14]),
@@ -306,8 +341,8 @@ def closest_hit(data: SceneData, spec: SceneSpec, ro: V3, rd: V3) -> HitRec:
         zv = V3(z, z, z)
         return HitRec(t=jnp.full_like(n_like, jnp.inf),
                       hit=jnp.zeros(n_like.shape, bool), obj=obj,
-                      normal=zv, diffuse=zv, specular=zv, ambient=zv,
-                      exponent=z, ior=z, msamples=z,
+                      normal=zv, pt=ro, diffuse=zv, specular=zv,
+                      ambient=zv, exponent=z, ior=z, msamples=z,
                       is_fresnel=z > 1, is_transp=z > 1, is_indirect=z > 1)
 
     # normal: sphere => unit (pt - c); plane => stored q, raw
@@ -321,9 +356,12 @@ def closest_hit(data: SceneData, spec: SceneSpec, ro: V3, rd: V3) -> HitRec:
         jnp.where(is_sph, rel.x * inv, sel["qx"]),
         jnp.where(is_sph, rel.y * inv, sel["qy"]),
         jnp.where(is_sph, rel.z * inv, sel["qz"]))
+    pt = _snapped_point(pt, rel, inv, is_sph, sel["qx"],
+                        V3(sel["qx"], sel["qy"], sel["qz"]),
+                        V3(sel["cx"], sel["cy"], sel["cz"]))
 
     return HitRec(
-        t=t_best, hit=hit, obj=obj, normal=normal,
+        t=t_best, hit=hit, obj=obj, normal=normal, pt=pt,
         diffuse=V3(sel["dr"], sel["dg"], sel["db"]),
         specular=V3(sel["sr"], sel["sg"], sel["sb"]),
         ambient=V3(sel["ar"], sel["ag"], sel["ab"]),

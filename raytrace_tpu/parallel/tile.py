@@ -43,6 +43,27 @@ def _render_tile_sharded(data, spec, px, py, sample_ids, seed, mesh):
     return fn(data, px, py, sample_ids)
 
 
+@partial(jax.jit,
+         static_argnames=("spec", "seed", "s_launch", "n_chunks", "mesh"))
+def _render_chunks_sharded(data, spec, px, py, s0, s_launch, n_chunks,
+                           seed, mesh):
+    """Device-accumulated sample chunks (integrator._render_chunks) with
+    the pixel axis sharded over the mesh — chunk loop runs collective-
+    free inside shard_map, one host fetch per group."""
+    from raytrace_tpu.render.integrator import _render_chunks
+    axes = mesh.axis_names
+
+    def local(data, px, py, s0):
+        return _render_chunks(data, spec, px, py, s0, s_launch, n_chunks,
+                              seed)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axes), P(axes), P()),
+        out_specs=P(axes))
+    return fn(data, px, py, s0)
+
+
 def render_image_sharded(scene: Scene, *, seed: int = 0,
                          spp: int | None = None, mesh=None,
                          max_lanes: int = 1 << 22, progress=None,
@@ -59,15 +80,25 @@ def render_image_sharded(scene: Scene, *, seed: int = 0,
     mesh = mesh if mesh is not None else make_mesh()
     n_dev = int(np.prod(list(mesh.shape.values())))
 
-    def launch(data, spec, px, py, sids, seed):
+    def _pad(px, py):
         n = px.shape[0]
         pad = (-n) % n_dev
         if pad:
             px = jnp.concatenate([px, jnp.zeros(pad, px.dtype)])
             py = jnp.concatenate([py, jnp.zeros(pad, py.dtype)])
+        return px, py, n
+
+    def launch(data, spec, px, py, sids, seed):
+        px, py, n = _pad(px, py)
         out = _render_tile_sharded(data, spec, px, py, sids, seed, mesh)
-        return out[:n] if pad else out
+        return out[:n]
+
+    def launch_chunks(data, spec, px, py, s0, s_launch, n_chunks, seed):
+        px, py, n = _pad(px, py)
+        out = _render_chunks_sharded(data, spec, px, py, s0, s_launch,
+                                     n_chunks, seed, mesh)
+        return out[:n]
 
     return _image_loop(scene, launch, seed=seed, spp=spp,
                        max_lanes=max_lanes * n_dev, progress=progress,
-                       checkpoint=checkpoint)
+                       checkpoint=checkpoint, launch_chunks=launch_chunks)

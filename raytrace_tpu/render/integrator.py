@@ -236,6 +236,29 @@ def _render_tile(data, spec, px, py, sample_ids, seed):
     return sample_pixels(data, spec, px, py, sample_ids, seed)
 
 
+@partial(jax.jit, static_argnames=("spec", "seed", "s_launch", "n_chunks"))
+def _render_chunks(data, spec, px, py, s0, s_launch, n_chunks, seed):
+    """``n_chunks`` sample-chunk launches accumulated ON DEVICE.
+
+    The naive host loop fetches every chunk's (P, 3) tile — through a
+    remote-device link that round-trip dominates wall-clock ~100x over
+    the render itself (measured: 134s vs ~1.3s of device time for the
+    full golden workload).  Here the chunk loop is a ``fori_loop``
+    inside one jit launch; only the final mean crosses the link.
+    """
+    def body(i, acc):
+        sids = (s0 + i * s_launch
+                + jnp.arange(s_launch, dtype=jnp.uint32))
+        return acc + sample_pixels(data, spec, px, py, sids, seed)
+
+    # seed the carry from px so it has px's vma (inside shard_map the
+    # loop output varies over the mesh; a replicated zeros init would
+    # make the fori_loop carry types mismatch)
+    acc = ((px * 0).astype(data.prim_p.dtype)[:, None]
+           + jnp.zeros((1, 3), data.prim_p.dtype))
+    return jax.lax.fori_loop(0, n_chunks, body, acc) / n_chunks
+
+
 def _s_p_launch(spec: SceneSpec, aa: int, max_lanes: int):
     """Pick (samples, pixels) per launch so the wavefront's widest level
     (N * B^(max_depth+1) lanes) stays within the device lane budget —
@@ -255,8 +278,8 @@ def _s_p_launch(spec: SceneSpec, aa: int, max_lanes: int):
 
 
 def _image_loop(scene: Scene, launch, *, seed: int, spp: int | None,
-                max_lanes: int, progress, checkpoint: str | None
-                ) -> np.ndarray:
+                max_lanes: int, progress, checkpoint: str | None,
+                launch_chunks=None, chunk_group: int = 32) -> np.ndarray:
     """Host tiling loop shared by single-device and sharded rendering.
 
     Outer loop over AA-sample chunks, inner loop over pixel tiles; the
@@ -286,6 +309,29 @@ def _image_loop(scene: Scene, launch, *, seed: int, spp: int | None,
 
     pix = np.arange(h * w, dtype=np.uint32)
     px_all, py_all = pix % w, pix // w
+
+    if launch_chunks is not None and p_launch == h * w:
+        # whole image fits one launch: accumulate sample chunks on
+        # device, fetching only once per ``chunk_group`` chunks
+        px_d, py_d = jnp.asarray(px_all), jnp.asarray(py_all)
+        s0 = s_done
+        while s0 < aa:
+            rem = aa - s0
+            if rem >= s_launch:
+                g, sl = min(chunk_group, rem // s_launch), s_launch
+            else:
+                g, sl = 1, rem          # ragged tail chunk
+            n_s = g * sl
+            out = launch_chunks(data, spec, px_d, py_d,
+                                jnp.uint32(s0), sl, g, seed)
+            image += np.asarray(out, np.float64) * (n_s / aa)
+            s0 += n_s
+            if progress is not None:
+                progress(s0, aa, h * w, h * w)
+            if checkpoint is not None:
+                np.savez(checkpoint, image=image, s_done=s0,
+                         width=w, height=h, aa=aa, seed=seed)
+        return image.reshape(h, w, 3)
 
     for s0 in range(s_done, aa, s_launch):
         sids = jnp.arange(s0, min(s0 + s_launch, aa), dtype=jnp.uint32)
@@ -319,4 +365,4 @@ def render_image(scene: Scene, *, seed: int = 0, spp: int | None = None,
 
     return _image_loop(scene, launch, seed=seed, spp=spp,
                        max_lanes=max_lanes, progress=progress,
-                       checkpoint=checkpoint)
+                       checkpoint=checkpoint, launch_chunks=_render_chunks)

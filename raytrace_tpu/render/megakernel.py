@@ -234,7 +234,10 @@ def _radiance_lanes_fwd_kernel(data: SceneData, spec: SceneSpec, pix, piy,
 
     lane_spec = pl.BlockSpec((BLOCK_ROWS, LANE), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((rows_pad, LANE), jnp.float32)
+    # inside shard_map the output varies over the same mesh axes as the
+    # lane-id inputs; vma must be declared on the out avals
+    vma = getattr(jax.typeof(pix), "vma", frozenset())
+    out_shape = jax.ShapeDtypeStruct((rows_pad, LANE), jnp.float32, vma=vma)
 
     try:
         compiler_params = pltpu.CompilerParams(
