@@ -16,6 +16,24 @@ import jax
 from jax.sharding import Mesh
 
 
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host bring-up (SURVEY.md §5.8): ``jax.distributed
+    .initialize`` with standard env-based auto-detection.
+
+    On single-process runs this is a no-op; on TPU pods the runtime
+    env usually provides everything, so bare ``init_distributed()``
+    suffices.  Idempotent: repeated calls are ignored.
+    """
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError:
+        pass  # already initialized (or single-process backend)
+
+
 def make_mesh(devices=None, axis_name: str = "d") -> Mesh:
     """Flat 1-D mesh over all (or the given) devices."""
     devices = jax.devices() if devices is None else devices

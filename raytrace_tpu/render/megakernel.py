@@ -52,9 +52,12 @@ from raytrace_tpu.ops.intersect import LARGE_SCENE_THRESHOLD
 from raytrace_tpu.ops.vec import V3
 from raytrace_tpu.scene.schema import BG_SOLID, SceneData, SceneSpec
 
-# lane-block geometry: each grid step processes (BLOCK_ROWS, 128) lanes
+# lane-block geometry: each grid step processes (BLOCK_ROWS, 128) lanes.
+# Measured on v5e (median chained launches, 2M lanes): 32/64/128 rows ~
+# 5.5-7G rays/s, 256 -> 4.9G, 512 -> 3.8G (VMEM pressure hurts grid-step
+# pipelining); 128 is the default sweet spot.
 LANE = 128
-BLOCK_ROWS = int(os.environ.get("RAYTRACE_TPU_MEGAKERNEL_ROWS", "256"))
+BLOCK_ROWS = int(os.environ.get("RAYTRACE_TPU_MEGAKERNEL_ROWS", "128"))
 
 # packed scalar layout: every SceneData leaf except bg_cube (solid
 # backgrounds never touch it), in declaration order

@@ -65,6 +65,50 @@ def test_golden_scene_parity(interpret_env):
     assert float(jnp.max(got.x)) > 0.0
 
 
+MIRROR_SCENE = """{
+  objects: [
+    { bounds: Plane { point: (0, -1, 0) normal: (0, 1, 0) }
+      material: PhongMaterial { diffuse: rgb(0.6,0.5,0.4)
+        specular: rgb(0.3,0.3,0.3) exponent: 8
+        ambient: rgb(0.05,0.05,0.05) } }
+    { bounds: Sphere { center: (0, 0, -4) radius: 1 }
+      material: PhongMaterial { diffuse: rgb(0.8,0.3,0.2)
+        specular: rgb(0.4,0.4,0.4) exponent: 16 ambient: rgb(0,0,0) } }
+  ]
+  lights: [
+    { model: PointLight { location: (2, 3, -1) } color: rgb(1.2,1.1,1.0) }
+    { model: DirectionalLight { direction: (0, -1, -0.2) }
+      color: rgb(0.3, 0.3, 0.35) }
+  ]
+  camera: DepthOfFieldCamera new(
+    new((0,0,0), (0,0,-1), (0,1,0), 2),
+    4.0, 0.05, 2)
+  background: SolidColorBackground { color: rgb(0.1, 0.12, 0.15) }
+  options: { width: 32 height: 32 antialias: 2 }
+}"""
+
+
+def test_mirror_phong_dof_lights_parity(interpret_env):
+    """Reflect slot + point/directional lights + DoF lens sampling all
+    run inside the kernel; parity vs the jnp path."""
+    from raytrace_tpu.scene import dsl
+    from raytrace_tpu.scene.builder import build_scene
+
+    sc = build_scene(dsl.parse(MIRROR_SCENE), dtype=jnp.float32)
+    spec = sc.spec
+    assert spec.has_reflect and spec.children_per_ray == 1
+    assert megakernel.usable(sc.data, spec)
+    pix, piy, aas, cam = _lanes(500, spec.width, spec.height, aa=2)
+
+    got = megakernel.radiance_lanes(sc.data, spec, pix, piy, aas, cam, 5)
+    ro, rd, k1, k2 = primary_rays(sc.data, spec, pix, piy, aas, cam, 5)
+    want = radiance_linear_v(sc.data, spec, ro, rd, k1, k2)
+    for g, w in zip(got, want):
+        g, w = np.asarray(g), np.asarray(w)
+        close = np.isclose(g, w, rtol=1e-5, atol=1e-6)
+        assert close.mean() > 0.97, f"only {close.mean():.3f} lanes match"
+
+
 def test_grad_through_megakernel(interpret_env):
     """custom_vjp: grad through the fused kernel == grad of the jnp
     path (the backward *is* the jnp path's VJP, re-traced)."""
