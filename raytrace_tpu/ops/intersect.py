@@ -230,6 +230,52 @@ def _scan_all_objects(data: SceneData, spec: SceneSpec, ro: V3, rd: V3, a):
     return t_best, obj, hit
 
 
+def _packed_tables(data: SceneData, spec: SceneSpec):
+    """Unified primitive table for the Pallas scan kernel: spheres
+    (cx, cy, cz, r) first, then planes (n, p.n), each partition
+    zero-padded to the kernel's chunk multiple (self-masking: r = 0 /
+    n = 0 never hit).  Returns (table, n_sph_pad, row->object idmap)."""
+    from raytrace_tpu.ops import intersect_pallas as ip
+
+    sph, pln = _typed_geometry(data, spec)
+    ck = ip._OBJ_CHUNK
+    dtype = data.prim_p.dtype
+
+    def pad(rows, ids):
+        o = rows.shape[0]
+        extra = (-o) % ck if o else ck
+        if extra:
+            rows = jnp.concatenate(
+                [rows, jnp.zeros((extra, 4), dtype)]) if o else \
+                jnp.zeros((ck, 4), dtype)
+            ids = np.concatenate([ids, np.zeros(extra, np.int32)])
+        return rows, ids
+
+    sph_rows = jnp.concatenate(
+        [data.prim_p[sph], data.prim_q[sph, 0:1]], axis=1)
+    sph_rows, sph_ids = pad(sph_rows, sph.astype(np.int32))
+    pn = jnp.sum(data.prim_p[pln] * data.prim_q[pln], axis=1,
+                 keepdims=True)
+    pln_rows = jnp.concatenate([data.prim_q[pln], pn], axis=1)
+    pln_rows, pln_ids = pad(pln_rows, pln.astype(np.int32))
+
+    table = jnp.concatenate([sph_rows, pln_rows])
+    idmap = jnp.asarray(np.concatenate([sph_ids, pln_ids]))
+    return table, sph_rows.shape[0], idmap
+
+
+def _scan_hit_dispatch(data: SceneData, spec: SceneSpec, ro: V3, rd: V3):
+    """(t_best, obj, hit) for the scanned (large-scene) regime: Pallas
+    kernel on TPU f32, lax.scan elsewhere."""
+    from raytrace_tpu.ops import intersect_pallas as ip
+
+    if ip.usable(ro.x.dtype) and ro.x.ndim == 1:
+        table, n_sph_pad, idmap = _packed_tables(data, spec)
+        t_best, gid, hit = ip.scan_hit(table, n_sph_pad, ro, rd)
+        return t_best, idmap[gid], hit
+    return _scan_all_objects(data, spec, ro, rd, dot(rd, rd))
+
+
 def _closest_hit_scanned(data: SceneData, spec: SceneSpec, ro: V3,
                          rd: V3) -> HitRec:
     """Large-scene closest hit: scan + one packed-table row gather.
@@ -239,8 +285,7 @@ def _closest_hit_scanned(data: SceneData, spec: SceneSpec, ro: V3,
     selects, the right trade once O is large.
     """
     dtype = ro.x.dtype
-    a = dot(rd, rd)
-    t_best, obj, hit = _scan_all_objects(data, spec, ro, rd, a)
+    t_best, obj, hit = _scan_hit_dispatch(data, spec, ro, rd)
 
     mts = np.asarray(spec.mat_type, np.int32)
     sts = np.asarray(spec.shape_type, np.int32)
@@ -378,7 +423,7 @@ def occluded_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
     a = dot(rd, rd)
     n_live = sum(1 for t in spec.shape_type if t >= 0)
     if n_live > LARGE_SCENE_THRESHOLD:
-        t_best, _, hit = _scan_all_objects(data, spec, ro, rd, a)
+        t_best, _, hit = _scan_hit_dispatch(data, spec, ro, rd)
         if has_range:
             return hit & (t_best * t_best < sq_range)
         return hit

@@ -1,0 +1,232 @@
+"""Pallas TPU kernel for LARGE-scene closest-hit queries.
+
+The jnp large-scene path (ops/intersect.py::_scan_all_objects) walks the
+primitive axis with ``lax.scan`` over 16-object chunks: every chunk
+round-trips the running (t_best, obj, hit) carry through HBM.  Here the
+primitive axis is the *inner grid dimension* of one ``pallas_call``:
+each (row-block, obj-chunk) step keeps the ray block in VMEM, streams
+an 8-primitive chunk through a pipelined (8, 4) table block, and folds
+the running minimum directly in the output refs (the standard Pallas
+reduction pattern — outputs are revisited across the inner grid axis,
+initialized under ``pl.when(j == 0)``).  HBM traffic per level is rays
+in + one hit record out, independent of scene size.
+
+Semantics are identical to the jnp scan (same formulas, same
+first-minimum tie-break in sphere-partition-then-plane-partition order,
+matching _scan_all_objects; scene.rs:248 semantics within each type).
+Used only for the scanned regime (> LARGE_SCENE_THRESHOLD live
+objects), f32, TPU; other regimes/backends keep the jnp code.
+
+Differentiability: a ``jax.custom_vjp`` re-traces a jnp scan in the
+backward pass (the megakernel's strategy, render/megakernel.py), so
+inverse rendering over huge scenes keeps the fast forward.
+
+Table layout (one unified (C*8, 4) f32 table, spheres first):
+
+* sphere row: (cx, cy, cz, r)            shapes.rs:60-87
+* plane row:  (nx, ny, nz, p.n)          shapes.rs:102-110 (the kernel
+  only needs ``n.(p0 - o) = p.n - o.n``, so the point is pre-reduced)
+* zero padding rows are self-masking: r = 0 gives disc <= 0
+  (Cauchy-Schwarz), n = 0 gives denom = 0.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytrace_tpu.ops.vec import V3
+
+LANE = 128
+BLOCK_ROWS = int(os.environ.get("RAYTRACE_TPU_INTERSECT_ROWS", "128"))
+_OBJ_CHUNK = 8   # primitives per inner grid step
+
+
+def _env_flag(name: str) -> bool:
+    return os.environ.get(name, "") not in ("", "0")
+
+
+def usable(dtype) -> bool:
+    if _env_flag("RAYTRACE_TPU_NO_INTERSECT_KERNEL"):
+        return False
+    interpret = _env_flag("RAYTRACE_TPU_MEGAKERNEL_INTERPRET")
+    if not interpret and jax.default_backend() != "tpu":
+        return False
+    return jnp.dtype(dtype) == jnp.float32
+
+
+def _kernel(tab_ref, rox, roy, roz, rdx, rdy, rdz,
+            t_out, obj_out, hit_out, *, n_sph_chunks: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        t_out[...] = jnp.full(t_out.shape, jnp.inf, t_out.dtype)
+        obj_out[...] = jnp.zeros(obj_out.shape, jnp.int32)
+        hit_out[...] = jnp.zeros(hit_out.shape, jnp.int32)
+
+    ro = V3(rox[...], roy[...], roz[...])
+    rd = V3(rdx[...], rdy[...], rdz[...])
+    a = rd.x * rd.x + rd.y * rd.y + rd.z * rd.z
+    inv2a = 0.5 / a
+    rows = tab_ref[...]                      # (OBJ_CHUNK, 4) in VMEM
+
+    def fold(ts, vs):
+        t_best, obj, hit = t_out[...], obj_out[...], hit_out[...]
+        for k, (t_i, v_i) in enumerate(zip(ts, vs)):
+            t_i = jnp.where(v_i, t_i, jnp.inf)
+            better = t_i < t_best
+            t_best = jnp.where(better, t_i, t_best)
+            obj = jnp.where(better, j * _OBJ_CHUNK + k, obj)
+            hit = hit | (v_i.astype(jnp.int32))
+        t_out[...] = t_best
+        obj_out[...] = obj
+        hit_out[...] = hit
+
+    @pl.when(j < n_sph_chunks)
+    def _():
+        ts, vs = [], []
+        for k in range(_OBJ_CHUNK):
+            cx, cy, cz, r = rows[k, 0], rows[k, 1], rows[k, 2], rows[k, 3]
+            ocx, ocy, ocz = ro.x - cx, ro.y - cy, ro.z - cz
+            b = 2.0 * (rd.x * ocx + rd.y * ocy + rd.z * ocz)
+            cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = b * b - 4.0 * a * cc
+            has = disc > 0.0
+            sq = jnp.sqrt(jnp.where(has, disc, 1.0))
+            t1 = (-b - sq) * inv2a
+            t2 = (-b + sq) * inv2a
+            t = jnp.where(t1 > 0.0, t1, t2)
+            ts.append(t)
+            vs.append(has & (t > 0.0))
+        fold(ts, vs)
+
+    @pl.when(j >= n_sph_chunks)
+    def _():
+        ts, vs = [], []
+        for k in range(_OBJ_CHUNK):
+            nx, ny, nz, pn = rows[k, 0], rows[k, 1], rows[k, 2], rows[k, 3]
+            denom = rd.x * nx + rd.y * ny + rd.z * nz
+            numer = pn - (ro.x * nx + ro.y * ny + ro.z * nz)
+            ok = denom != 0.0
+            t = numer / jnp.where(ok, denom, 1.0)
+            ts.append(t)
+            vs.append(ok & (t > 0.0))
+        fold(ts, vs)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def scan_hit(table, n_sph_pad, ro, rd):
+    """(t_best, row_id, hit) for rays vs the unified primitive table.
+
+    table: (C*8, 4) f32, spheres in rows [0, n_sph_pad), planes after;
+    n_sph_pad: static sphere-partition size (multiple of 8);
+    ro/rd: V3 of (N,) lanes.  ``row_id`` indexes the table (map back to
+    scene object ids with the caller's idmap).
+    """
+    return _scan_hit_fwd_kernel(table, n_sph_pad, ro, rd)
+
+
+def _jnp_scan_reference(table, n_sph_pad, ro, rd):
+    """The kernel's semantics in plain lax.scan (VJP + parity)."""
+    a = rd.x * rd.x + rd.y * rd.y + rd.z * rd.z
+    init = (jnp.full(ro.x.shape, jnp.inf, ro.x.dtype),
+            jnp.zeros(ro.x.shape, jnp.int32),
+            jnp.zeros(ro.x.shape, bool))
+
+    def step(carry, xs):
+        row, gid = xs
+        is_sph = gid < n_sph_pad
+        # sphere branch
+        ocx, ocy, ocz = ro.x - row[0], ro.y - row[1], ro.z - row[2]
+        b = 2.0 * (rd.x * ocx + rd.y * ocy + rd.z * ocz)
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - row[3] * row[3]
+        disc = b * b - 4.0 * a * cc
+        has = disc > 0.0
+        sq = jnp.sqrt(jnp.where(has, disc, 1.0))
+        ts1 = (-b - sq) / (2.0 * a)
+        ts2 = (-b + sq) / (2.0 * a)
+        ts = jnp.where(ts1 > 0.0, ts1, ts2)
+        vs = has & (ts > 0.0)
+        # plane branch
+        denom = rd.x * row[0] + rd.y * row[1] + rd.z * row[2]
+        numer = row[3] - (ro.x * row[0] + ro.y * row[1] + ro.z * row[2])
+        ok = denom != 0.0
+        tp = numer / jnp.where(ok, denom, 1.0)
+        vp = ok & (tp > 0.0)
+
+        t_i = jnp.where(is_sph, ts, tp)
+        v_i = jnp.where(is_sph, vs, vp)
+        t_best, obj, hit = carry
+        t_i = jnp.where(v_i, t_i, jnp.inf)
+        better = t_i < t_best
+        return (jnp.where(better, t_i, t_best),
+                jnp.where(better, gid, obj), hit | v_i), None
+
+    ids = jnp.arange(table.shape[0], dtype=jnp.int32)
+    (t, obj, hit), _ = jax.lax.scan(step, init, (table, ids))
+    return t, obj, hit
+
+
+def _scan_hit_fwd_kernel(table, n_sph_pad, ro, rd):
+    n = ro.x.shape[0]
+    rows = -(-n // LANE)
+    rows_pad = -(-rows // BLOCK_ROWS) * BLOCK_ROWS
+    total = rows_pad * LANE
+    n_chunks = table.shape[0] // _OBJ_CHUNK
+    assert table.shape[0] % _OBJ_CHUNK == 0
+
+    def block(arr):
+        arr = jnp.concatenate([arr, jnp.zeros(total - n, arr.dtype)])
+        return arr.reshape(rows_pad, LANE)
+
+    # grid: outer = ray row-blocks (parallel), inner = object chunks
+    # (sequential reduction into the revisited output block)
+    grid = (rows_pad // BLOCK_ROWS, n_chunks)
+    lane = pl.BlockSpec((BLOCK_ROWS, LANE), lambda i, j: (i, 0),
+                        memory_space=pltpu.VMEM)
+    tab = pl.BlockSpec((_OBJ_CHUNK, 4), lambda i, j: (j, 0),
+                       memory_space=pltpu.VMEM)
+    vma = getattr(jax.typeof(ro.x), "vma", frozenset())
+    shp = lambda dt: jax.ShapeDtypeStruct(  # noqa: E731
+        (rows_pad, LANE), dt, vma=vma)
+
+    fn = pl.pallas_call(
+        partial(_kernel, n_sph_chunks=n_sph_pad // _OBJ_CHUNK),
+        grid=grid,
+        in_specs=[tab, lane, lane, lane, lane, lane, lane],
+        out_specs=(lane, lane, lane),
+        out_shape=(shp(ro.x.dtype), shp(jnp.int32), shp(jnp.int32)),
+        interpret=_env_flag("RAYTRACE_TPU_MEGAKERNEL_INTERPRET"),
+    )
+    t, obj, hit = fn(table, block(ro.x), block(ro.y), block(ro.z),
+                     block(rd.x), block(rd.y), block(rd.z))
+    unb = lambda x: x.reshape(-1)[:n]  # noqa: E731
+    return unb(t), unb(obj), unb(hit) != 0
+
+
+def _vjp_fwd(table, n_sph_pad, ro, rd):
+    out = _scan_hit_fwd_kernel(table, n_sph_pad, ro, rd)
+    return out, (table, ro, rd)
+
+
+def _vjp_bwd(n_sph_pad, res, g):
+    table, ro, rd = res
+    gt = g[0]  # obj/hit are integral: no cotangent
+
+    def fwd_t(table, ro, rd):
+        t, _, _ = _jnp_scan_reference(table, n_sph_pad, ro, rd)
+        return t
+
+    _, vjp = jax.vjp(fwd_t, table, ro, rd)
+    return vjp(gt)
+
+
+scan_hit.defvjp(_vjp_fwd, _vjp_bwd)

@@ -1,0 +1,79 @@
+"""Pallas large-scene intersect kernel: parity with the lax.scan path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raytrace_tpu.ops import intersect_pallas as ip
+from raytrace_tpu.ops.intersect import (_packed_tables, _scan_all_objects,
+                                        closest_hit)
+from raytrace_tpu.ops.vec import dot, splat
+from raytrace_tpu.scene.procedural import make_sphere_field
+
+
+@pytest.fixture()
+def interpret_env(monkeypatch):
+    monkeypatch.setenv("RAYTRACE_TPU_MEGAKERNEL_INTERPRET", "1")
+
+
+def _rays(n, seed=0):
+    r = np.random.RandomState(seed)
+    ro = np.repeat([[0.0, 4.0, 28.0]], n, 0) + r.normal(0, 0.5, (n, 3))
+    rd = r.normal(0, 1, (n, 3))
+    return splat(jnp.asarray(ro, jnp.float32)), splat(
+        jnp.asarray(rd, jnp.float32))
+
+
+def test_scan_kernel_matches_lax_scan(interpret_env):
+    sc = make_sphere_field(100, mix_materials=False)
+    ro, rd = _rays(333)
+    table, n_sph_pad, idmap = _packed_tables(sc.data, sc.spec)
+    t_k, gid, hit_k = ip.scan_hit(table, n_sph_pad, ro, rd)
+    t_j, obj_j, hit_j = _scan_all_objects(sc.data, sc.spec, ro, rd,
+                                          dot(rd, rd))
+    np.testing.assert_array_equal(np.asarray(hit_k), np.asarray(hit_j))
+    ok = np.asarray(hit_j)
+    np.testing.assert_array_equal(
+        np.asarray(idmap)[np.asarray(gid)][ok], np.asarray(obj_j)[ok])
+    np.testing.assert_allclose(np.asarray(t_k)[ok], np.asarray(t_j)[ok],
+                               rtol=1e-6)
+
+
+def test_scan_kernel_grad(interpret_env):
+    """custom_vjp: d(sum t)/d(table, rays) matches the jnp scan's grad."""
+    sc = make_sphere_field(80, mix_materials=False)
+    ro, rd = _rays(64, seed=3)
+    table, n_sph_pad, _ = _packed_tables(sc.data, sc.spec)
+
+    def loss(fn):
+        def inner(table, ro, rd):
+            t, _, hit = fn(table, n_sph_pad, ro, rd)
+            return jnp.sum(jnp.where(hit, t, 0.0))
+        return inner
+
+    gk = jax.grad(loss(ip.scan_hit), argnums=(0, 1, 2))(table, ro, rd)
+    gj = jax.grad(loss(ip._jnp_scan_reference),
+                  argnums=(0, 1, 2))(table, ro, rd)
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gj)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    assert float(jnp.max(jnp.abs(gk[0]))) > 0
+
+
+def test_closest_hit_dispatch_consistency(interpret_env, monkeypatch):
+    """closest_hit (scanned regime) gives identical records with the
+    kernel on and off."""
+    sc = make_sphere_field(100, mix_materials=False)
+    ro, rd = _rays(128, seed=1)
+    h1 = closest_hit(sc.data, sc.spec, ro, rd)
+    monkeypatch.setenv("RAYTRACE_TPU_NO_INTERSECT_KERNEL", "1")
+    h2 = closest_hit(sc.data, sc.spec, ro, rd)
+    np.testing.assert_array_equal(np.asarray(h1.hit), np.asarray(h2.hit))
+    ok = np.asarray(h1.hit)
+    np.testing.assert_array_equal(np.asarray(h1.obj)[ok],
+                                  np.asarray(h2.obj)[ok])
+    for a, b in [(h1.t, h2.t), (h1.normal.x, h2.normal.x),
+                 (h1.diffuse.y, h2.diffuse.y)]:
+        np.testing.assert_allclose(np.asarray(a)[ok], np.asarray(b)[ok],
+                                   rtol=1e-6, atol=1e-7)
