@@ -137,9 +137,10 @@ def scan_hit(table, n_sph_pad, ro, rd):
 def _jnp_scan_reference(table, n_sph_pad, ro, rd):
     """The kernel's semantics in plain lax.scan (VJP + parity)."""
     a = rd.x * rd.x + rd.y * rd.y + rd.z * rd.z
-    init = (jnp.full(ro.x.shape, jnp.inf, ro.x.dtype),
-            jnp.zeros(ro.x.shape, jnp.int32),
-            jnp.zeros(ro.x.shape, bool))
+    # derive the carry init from ro.x so it inherits ro's vma (inside
+    # shard_map a replicated zeros init would mismatch the carry type)
+    zero = ro.x * 0
+    init = (zero + jnp.inf, zero.astype(jnp.int32), zero > 1)
 
     def step(carry, xs):
         row, gid = xs
@@ -151,8 +152,9 @@ def _jnp_scan_reference(table, n_sph_pad, ro, rd):
         disc = b * b - 4.0 * a * cc
         has = disc > 0.0
         sq = jnp.sqrt(jnp.where(has, disc, 1.0))
-        ts1 = (-b - sq) / (2.0 * a)
-        ts2 = (-b + sq) / (2.0 * a)
+        inv2a = 0.5 / a
+        ts1 = (-b - sq) * inv2a
+        ts2 = (-b + sq) * inv2a
         ts = jnp.where(ts1 > 0.0, ts1, ts2)
         vs = has & (ts > 0.0)
         # plane branch
