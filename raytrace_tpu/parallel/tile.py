@@ -44,18 +44,20 @@ def _render_tile_sharded(data, spec, px, py, sample_ids, seed, mesh):
 
 
 @partial(jax.jit,
-         static_argnames=("spec", "seed", "s_launch", "n_chunks", "mesh"))
+         static_argnames=("spec", "seed", "s_launch", "n_chunks", "mesh",
+                          "p_local"))
 def _render_chunks_sharded(data, spec, px, py, s0, s_launch, n_chunks,
-                           seed, mesh):
-    """Device-accumulated sample chunks (integrator._render_chunks) with
-    the pixel axis sharded over the mesh — chunk loop runs collective-
-    free inside shard_map, one host fetch per group."""
+                           seed, mesh, p_local):
+    """Device-accumulated (pixel tile x sample chunk) launches
+    (integrator._render_chunks) with the pixel axis sharded over the
+    mesh — both loops run collective-free inside shard_map, one host
+    fetch per group.  ``p_local`` is the per-device pixel-tile size."""
     from raytrace_tpu.render.integrator import _render_chunks
     axes = mesh.axis_names
 
     def local(data, px, py, s0):
         return _render_chunks(data, spec, px, py, s0, s_launch, n_chunks,
-                              seed)
+                              seed, p_local)
 
     fn = shard_map(
         local, mesh=mesh,
@@ -93,10 +95,12 @@ def render_image_sharded(scene: Scene, *, seed: int = 0,
         out = _render_tile_sharded(data, spec, px, py, sids, seed, mesh)
         return out[:n]
 
-    def launch_chunks(data, spec, px, py, s0, s_launch, n_chunks, seed):
+    def launch_chunks(data, spec, px, py, s0, s_launch, n_chunks, seed,
+                      p_launch):
         px, py, n = _pad(px, py)
+        p_local = max(p_launch // n_dev, 1)
         out = _render_chunks_sharded(data, spec, px, py, s0, s_launch,
-                                     n_chunks, seed, mesh)
+                                     n_chunks, seed, mesh, p_local)
         return out[:n]
 
     return _image_loop(scene, launch, seed=seed, spp=spp,

@@ -236,27 +236,53 @@ def _render_tile(data, spec, px, py, sample_ids, seed):
     return sample_pixels(data, spec, px, py, sample_ids, seed)
 
 
-@partial(jax.jit, static_argnames=("spec", "seed", "s_launch", "n_chunks"))
-def _render_chunks(data, spec, px, py, s0, s_launch, n_chunks, seed):
-    """``n_chunks`` sample-chunk launches accumulated ON DEVICE.
+@partial(jax.jit, static_argnames=("spec", "seed", "s_launch", "n_chunks",
+                                   "p_launch"))
+def _render_chunks(data, spec, px, py, s0, s_launch, n_chunks, seed,
+                   p_launch):
+    """``n_chunks`` sample chunks x all pixel tiles, accumulated ON
+    DEVICE in one launch.
 
-    The naive host loop fetches every chunk's (P, 3) tile — through a
-    remote-device link that round-trip dominates wall-clock ~100x over
-    the render itself (measured: 134s vs ~1.3s of device time for the
-    full golden workload).  Here the chunk loop is a ``fori_loop``
-    inside one jit launch; only the final mean crosses the link.
+    The naive host loop fetches every (pixel-tile, sample-chunk)
+    launch's output — through a remote-device link whose round trips
+    dominate wall-clock ~100x over the render itself (measured: 134s
+    vs ~1.3s of device time for the full golden workload; 360s for a
+    branching-4 scene whose lane budget forces tiny pixel tiles).
+    Here both loops are ``fori_loop``s inside one jit: the outer loop
+    walks ``p_launch``-pixel tiles (the lane-budget knob), the inner
+    loop walks sample chunks; only the final (P, 3) mean crosses the
+    link.
     """
-    def body(i, acc):
-        sids = (s0 + i * s_launch
-                + jnp.arange(s_launch, dtype=jnp.uint32))
-        return acc + sample_pixels(data, spec, px, py, sids, seed)
+    dtype = data.prim_p.dtype
+    n = px.shape[0]
+    p_launch = min(p_launch, n)
+    pad = (-n) % p_launch
+    if pad:
+        px = jnp.concatenate([px, jnp.zeros(pad, px.dtype)])
+        py = jnp.concatenate([py, jnp.zeros(pad, py.dtype)])
+    n_tiles = (n + pad) // p_launch
 
-    # seed the carry from px so it has px's vma (inside shard_map the
-    # loop output varies over the mesh; a replicated zeros init would
+    # seed carries from px so they inherit px's vma (inside shard_map
+    # the outputs vary over the mesh; a replicated zeros init would
     # make the fori_loop carry types mismatch)
-    acc = ((px * 0).astype(data.prim_p.dtype)[:, None]
-           + jnp.zeros((1, 3), data.prim_p.dtype))
-    return jax.lax.fori_loop(0, n_chunks, body, acc) / n_chunks
+    def vzeros(p):
+        return (p * 0).astype(dtype)[:, None] + jnp.zeros((1, 3), dtype)
+
+    def tile_body(tidx, acc):
+        off = tidx * p_launch
+        pxt = jax.lax.dynamic_slice(px, (off,), (p_launch,))
+        pyt = jax.lax.dynamic_slice(py, (off,), (p_launch,))
+
+        def chunk_body(i, tacc):
+            sids = (s0 + i * s_launch
+                    + jnp.arange(s_launch, dtype=jnp.uint32))
+            return tacc + sample_pixels(data, spec, pxt, pyt, sids, seed)
+
+        t = jax.lax.fori_loop(0, n_chunks, chunk_body, vzeros(pxt))
+        return jax.lax.dynamic_update_slice(acc, t / n_chunks, (off, 0))
+
+    out = jax.lax.fori_loop(0, n_tiles, tile_body, vzeros(px))
+    return out[:n]
 
 
 def _s_p_launch(spec: SceneSpec, aa: int, max_lanes: int):
@@ -310,20 +336,27 @@ def _image_loop(scene: Scene, launch, *, seed: int, spp: int | None,
     pix = np.arange(h * w, dtype=np.uint32)
     px_all, py_all = pix % w, pix // w
 
-    if launch_chunks is not None and p_launch == h * w:
-        # whole image fits one launch: accumulate sample chunks on
-        # device, fetching only once per ``chunk_group`` chunks
+    if launch_chunks is not None:
+        # accumulate (pixel tile x sample chunk) launches on device,
+        # fetching only once per group of chunks.  The group size is
+        # bounded by a per-launch WORK budget in lane-levels — a single
+        # XLA execution that runs for minutes can trip device worker
+        # deadlines, so heavy fan-out scenes take smaller groups.
+        widest = max(spec.children_per_ray, 1) ** (spec.max_depth + 1)
+        work_per_chunk = h * w * s_launch * spec.cam_samples * widest
+        budget = 1 << 28
+        g_cap = max(min(chunk_group, budget // max(work_per_chunk, 1)), 1)
         px_d, py_d = jnp.asarray(px_all), jnp.asarray(py_all)
         s0 = s_done
         while s0 < aa:
             rem = aa - s0
             if rem >= s_launch:
-                g, sl = min(chunk_group, rem // s_launch), s_launch
+                g, sl = min(g_cap, rem // s_launch), s_launch
             else:
                 g, sl = 1, rem          # ragged tail chunk
             n_s = g * sl
             out = launch_chunks(data, spec, px_d, py_d,
-                                jnp.uint32(s0), sl, g, seed)
+                                jnp.uint32(s0), sl, g, seed, p_launch)
             image += np.asarray(out, np.float64) * (n_s / aa)
             s0 += n_s
             if progress is not None:
