@@ -56,6 +56,43 @@ def _flatten_slots(parts):
     return jnp.stack(parts, axis=1).reshape(-1)
 
 
+def _compact_children(b: int, m: int, live, ro, rd, sig, tp, k1, k2):
+    """Compact B child slots down to m live lanes per parent.
+
+    The child gates are material-exclusive (SceneSpec.max_live_children)
+    so each parent has at most m live children among its b slots; a
+    branchless per-parent selection network (O(b*m) masked selects)
+    moves them into the first m output slots.  RNG keys are derived
+    *before* compaction, so every surviving lane keeps its exact stream
+    identity — compacted and uncompacted renders are bit-identical
+    while deep levels shrink from N*B^d to N*m^d lanes (a 4-slot
+    transparent+indirect scene does (4/2)^5 = 32x less work at the
+    deepest level).
+    """
+    n = live.shape[0] // b
+    live2 = live.reshape(n, b)
+    # exclusive running count of live slots = each live child's
+    # destination slot within its parent
+    prefix = jnp.cumsum(live2, axis=1) - live2.astype(jnp.int32)
+
+    def comp(arr, default):
+        a2 = arr.reshape(n, b)
+        cols = []
+        for j in range(m):
+            col = jnp.full((n,), default, a2.dtype)
+            for s in range(b):
+                take = live2[:, s] & (prefix[:, s] == j)
+                col = jnp.where(take, a2[:, s], col)
+            cols.append(col)
+        return jnp.stack(cols, axis=1).reshape(-1)
+
+    def compv(v: V3) -> V3:
+        return V3(comp(v.x, 0), comp(v.y, 0), comp(v.z, 0))
+
+    return (comp(live, False), compv(ro), compv(rd), comp(sig, 0),
+            compv(tp), comp(k1, 0), comp(k2, 0))
+
+
 def radiance_linear_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
                       k1, k2, significance=None) -> V3:
     """Radiance chain for scenes whose wavefront never fans out
@@ -144,6 +181,11 @@ def radiance_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3, k1, k2,
         ks = [rng.derive(k1, k2, c.slot) for c in children]
         k1 = _flatten_slots([k[0] for k in ks])
         k2 = _flatten_slots([k[1] for k in ks])
+
+        b, m = len(children), spec.max_live_children
+        if 0 < m < b and not os.environ.get("RAYTRACE_TPU_NO_COMPACTION"):
+            live, ro, rd, sig, tp, k1, k2 = _compact_children(
+                b, m, live, ro, rd, sig, tp, k1, k2)
 
     return acc
 
@@ -285,13 +327,23 @@ def _render_chunks(data, spec, px, py, s0, s_launch, n_chunks, seed,
     return out[:n]
 
 
+def _wavefront_widest(spec: SceneSpec) -> int:
+    """Widest wavefront level in lanes-per-primary-sample: each level
+    expands to B slots, then compaction (if enabled and useful) shrinks
+    to m live lanes before the next level."""
+    b = max(spec.children_per_ray, 1)
+    m = max(spec.max_live_children, 1)
+    if m >= b or os.environ.get("RAYTRACE_TPU_NO_COMPACTION"):
+        return b ** (spec.max_depth + 1)
+    return b * m ** spec.max_depth
+
+
 def _s_p_launch(spec: SceneSpec, aa: int, max_lanes: int):
     """Pick (samples, pixels) per launch so the wavefront's widest level
-    (N * B^(max_depth+1) lanes) stays within the device lane budget —
-    and *fills* that budget: TPU throughput rises ~3.5x from 262k to 2M
-    lanes per launch, so small images take more samples per launch."""
-    b = max(spec.children_per_ray, 1)
-    widest = b ** (spec.max_depth + 1)
+    stays within the device lane budget — and *fills* that budget: TPU
+    throughput rises ~3.5x from 262k to 2M lanes per launch, so small
+    images take more samples per launch."""
+    widest = _wavefront_widest(spec)
     lane_budget = max(max_lanes // (widest * spec.cam_samples), 1)
     n_pix = spec.width * spec.height
     if n_pix <= lane_budget:
@@ -342,8 +394,8 @@ def _image_loop(scene: Scene, launch, *, seed: int, spp: int | None,
         # bounded by a per-launch WORK budget in lane-levels — a single
         # XLA execution that runs for minutes can trip device worker
         # deadlines, so heavy fan-out scenes take smaller groups.
-        widest = max(spec.children_per_ray, 1) ** (spec.max_depth + 1)
-        work_per_chunk = h * w * s_launch * spec.cam_samples * widest
+        work_per_chunk = (h * w * s_launch * spec.cam_samples
+                          * _wavefront_widest(spec))
         budget = 1 << 28
         g_cap = max(min(chunk_group, budget // max(work_per_chunk, 1)), 1)
         px_d, py_d = jnp.asarray(px_all), jnp.asarray(py_all)

@@ -167,6 +167,18 @@ class SceneSpec:
         """Static wavefront branching factor B (SURVEY.md §7b)."""
         return int(self.has_reflect) + int(self.has_refract) + self.n_indirect
 
+    @property
+    def max_live_children(self) -> int:
+        """Static bound on *live* children per lane — the child gates in
+        models/materials.py are material-exclusive: indirect slots fire
+        only on IndirectPhong hits (which never spawn reflect/refract
+        slots, gate ``~is_indirect``), while reflect+refract fire only
+        on the other materials.  The wavefront can therefore be
+        compacted from B slots to this many lanes per parent with zero
+        loss (integrator._compact_children)."""
+        return max(int(self.has_reflect) + int(self.has_refract),
+                   self.n_indirect)
+
     def object_mask(self) -> np.ndarray:
         return np.array([t >= 0 for t in self.shape_type])
 

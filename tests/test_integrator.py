@@ -132,6 +132,30 @@ def test_depth_of_field_camera():
     _compare(sc)
 
 
+def test_compaction_bit_identical(monkeypatch):
+    """Wavefront compaction (B slots -> m live lanes per parent) must
+    not change a single bit: RNG keys are derived pre-compaction and
+    the child gates are material-exclusive."""
+    from raytrace_tpu.render.integrator import sample_pixels
+    from raytrace_tpu.scene import dsl as _dsl
+    from raytrace_tpu.scene.builder import build_scene as _build
+
+    src = open("/root/repo/examples/materials_showcase.txt").read()
+    sc = _build(_dsl.parse(src), dtype=jnp.float64)
+    sc = dataclasses.replace(
+        sc, spec=dataclasses.replace(sc.spec, max_depth=2))
+    assert sc.spec.children_per_ray > sc.spec.max_live_children > 0
+    w, h = sc.spec.width, sc.spec.height
+    pix = np.arange(0, w * h, 971, dtype=np.uint32)
+    px, py = jnp.asarray(pix % w), jnp.asarray(pix // w)
+    sids = jnp.arange(1, dtype=jnp.uint32)
+
+    a = np.asarray(sample_pixels(sc.data, sc.spec, px, py, sids, 11))
+    monkeypatch.setenv("RAYTRACE_TPU_NO_COMPACTION", "1")
+    b = np.asarray(sample_pixels(sc.data, sc.spec, px, py, sids, 11))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_skybox_background():
     # synthetic 3x5 / 4x4 faces injected directly into the scene pytree
     sc = _small(FRESNEL)
