@@ -171,7 +171,10 @@ def _scan_min(t_best, obj, hit, params, ids, body, n_like):
             t_i, v_i = body(rows[c])
             v_i = v_i & (rid[c] >= 0)
             t_i = jnp.where(v_i, t_i, jnp.inf)
-            better = t_i < t_b
+            # gid tie-break: sphere/plane partitions are scanned out of
+            # scene-file order, so restore min_by_key's first-in-scene-
+            # order semantics (scene.rs:248) on exact t ties
+            better = (t_i < t_b) | ((t_i == t_b) & v_i & (rid[c] < ob))
             t_b = jnp.where(better, t_i, t_b)
             ob = jnp.where(better, rid[c], ob)
             h = h | v_i
@@ -187,7 +190,7 @@ def _scan_all_objects(data: SceneData, spec: SceneSpec, ro: V3, rd: V3, a):
     n_like = ro.x
     sph, pln = _typed_geometry(data, spec)
     t_best = jnp.full_like(n_like, jnp.inf)
-    obj = jnp.zeros(n_like.shape, jnp.int32)
+    obj = jnp.full(n_like.shape, 2 ** 31 - 1, jnp.int32)
     hit = jnp.zeros(n_like.shape, bool)
 
     if len(sph):
@@ -227,14 +230,15 @@ def _scan_all_objects(data: SceneData, spec: SceneSpec, ro: V3, rd: V3, a):
 
         t_best, obj, hit = _scan_min(t_best, obj, hit, rows, ids,
                                      plane_body, n_like)
-    return t_best, obj, hit
+    return t_best, jnp.where(hit, obj, 0), hit
 
 
 def _packed_tables(data: SceneData, spec: SceneSpec):
     """Unified primitive table for the Pallas scan kernel: spheres
     (cx, cy, cz, r) first, then planes (n, p.n), each partition
-    zero-padded to the kernel's chunk multiple (self-masking: r = 0 /
-    n = 0 never hit).  Returns (table, n_sph_pad, row->object idmap)."""
+    zero-padded to the kernel's chunk multiple (masked: the kernel
+    requires r > 0 / n != 0, and pad rows carry id -1).
+    Returns (table, n_sph_pad, row->object idmap)."""
     from raytrace_tpu.ops import intersect_pallas as ip
 
     sph, pln = _typed_geometry(data, spec)
@@ -248,7 +252,11 @@ def _packed_tables(data: SceneData, spec: SceneSpec):
             rows = jnp.concatenate(
                 [rows, jnp.zeros((extra, 4), dtype)]) if o else \
                 jnp.zeros((ck, 4), dtype)
-            ids = np.concatenate([ids, np.zeros(extra, np.int32)])
+            # pad id -1: pad rows are masked (r = 0 / n = 0 plus the
+            # kernel's explicit r > 0 guard), so -1 only surfaces if a
+            # masking bug lets a phantom hit through — detectable
+            # rather than silently aliasing object 0
+            ids = np.concatenate([ids, np.full(extra, -1, np.int32)])
         return rows, ids
 
     sph_rows = jnp.concatenate(
@@ -271,8 +279,8 @@ def _scan_hit_dispatch(data: SceneData, spec: SceneSpec, ro: V3, rd: V3):
 
     if ip.usable(ro.x.dtype) and ro.x.ndim == 1:
         table, n_sph_pad, idmap = _packed_tables(data, spec)
-        t_best, gid, hit = ip.scan_hit(table, n_sph_pad, ro, rd)
-        return t_best, idmap[gid], hit
+        t_best, gid, hit = ip.scan_hit(table, idmap, n_sph_pad, ro, rd)
+        return t_best, jnp.where(hit, gid, 0), hit
     return _scan_all_objects(data, spec, ro, rd, dot(rd, rd))
 
 

@@ -26,8 +26,10 @@ Table layout (one unified (C*8, 4) f32 table, spheres first):
 * sphere row: (cx, cy, cz, r)            shapes.rs:60-87
 * plane row:  (nx, ny, nz, p.n)          shapes.rs:102-110 (the kernel
   only needs ``n.(p0 - o) = p.n - o.n``, so the point is pre-reduced)
-* zero padding rows are self-masking: r = 0 gives disc <= 0
-  (Cauchy-Schwarz), n = 0 gives denom = 0.
+* zero padding rows are masked explicitly: sphere validity requires
+  r > 0 (f32 cancellation in the discriminant can be spuriously
+  positive for rays grazing the origin, so algebraic self-masking is
+  not reliable); plane pad rows have n = 0 giving denom = 0.
 """
 
 from __future__ import annotations
@@ -62,14 +64,17 @@ def usable(dtype) -> bool:
     return jnp.dtype(dtype) == jnp.float32
 
 
-def _kernel(tab_ref, rox, roy, roz, rdx, rdy, rdz,
+_ID_SENTINEL = np.int32(2 ** 31 - 1)  # obj value on miss lanes
+
+
+def _kernel(ids_ref, tab_ref, rox, roy, roz, rdx, rdy, rdz,
             t_out, obj_out, hit_out, *, n_sph_chunks: int):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         t_out[...] = jnp.full(t_out.shape, jnp.inf, t_out.dtype)
-        obj_out[...] = jnp.zeros(obj_out.shape, jnp.int32)
+        obj_out[...] = jnp.full(obj_out.shape, _ID_SENTINEL, jnp.int32)
         hit_out[...] = jnp.zeros(hit_out.shape, jnp.int32)
 
     ro = V3(rox[...], roy[...], roz[...])
@@ -81,10 +86,15 @@ def _kernel(tab_ref, rox, roy, roz, rdx, rdy, rdz,
     def fold(ts, vs):
         t_best, obj, hit = t_out[...], obj_out[...], hit_out[...]
         for k, (t_i, v_i) in enumerate(zip(ts, vs)):
+            gid = ids_ref[j, k]              # global object id (SMEM)
             t_i = jnp.where(v_i, t_i, jnp.inf)
-            better = t_i < t_best
+            # strict < keeps the earliest minimum in *table* order;
+            # the gid comparison restores min_by_key's first-in-scene-
+            # order tie-break (scene.rs:248) across the sphere/plane
+            # partitions on an exact t tie
+            better = (t_i < t_best) | ((t_i == t_best) & v_i & (gid < obj))
             t_best = jnp.where(better, t_i, t_best)
-            obj = jnp.where(better, j * _OBJ_CHUNK + k, obj)
+            obj = jnp.where(better, gid, obj)
             hit = hit | (v_i.astype(jnp.int32))
         t_out[...] = t_best
         obj_out[...] = obj
@@ -105,7 +115,10 @@ def _kernel(tab_ref, rox, roy, roz, rdx, rdy, rdz,
             t2 = (-b + sq) * inv2a
             t = jnp.where(t1 > 0.0, t1, t2)
             ts.append(t)
-            vs.append(has & (t > 0.0))
+            # r > 0 guards zero-padding rows: f32 cancellation in
+            # b*b - 4ac can yield a spuriously positive disc for rays
+            # grazing the origin, which would register a phantom hit.
+            vs.append(has & (t > 0.0) & (r > 0.0))
         fold(ts, vs)
 
     @pl.when(j >= n_sph_chunks)
@@ -122,29 +135,33 @@ def _kernel(tab_ref, rox, roy, roz, rdx, rdy, rdz,
         fold(ts, vs)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1,))
-def scan_hit(table, n_sph_pad, ro, rd):
-    """(t_best, row_id, hit) for rays vs the unified primitive table.
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def scan_hit(table, ids, n_sph_pad, ro, rd):
+    """(t_best, global obj id, hit) for rays vs the unified table.
 
     table: (C*8, 4) f32, spheres in rows [0, n_sph_pad), planes after;
+    ids: (C*8,) int32 global object id per row (pad rows: -1 — never
+    valid, so the sentinel only marks would-be phantom hits);
     n_sph_pad: static sphere-partition size (multiple of 8);
-    ro/rd: V3 of (N,) lanes.  ``row_id`` indexes the table (map back to
-    scene object ids with the caller's idmap).
+    ro/rd: V3 of (N,) lanes.  On an exact t tie the lowest global id
+    wins (min_by_key first-in-scene-order, scene.rs:248); miss lanes
+    carry id 2^31-1 — mask with ``hit`` before gathering.
     """
-    return _scan_hit_fwd_kernel(table, n_sph_pad, ro, rd)
+    return _scan_hit_fwd_kernel(table, ids, n_sph_pad, ro, rd)
 
 
-def _jnp_scan_reference(table, n_sph_pad, ro, rd):
+def _jnp_scan_reference(table, ids, n_sph_pad, ro, rd):
     """The kernel's semantics in plain lax.scan (VJP + parity)."""
     a = rd.x * rd.x + rd.y * rd.y + rd.z * rd.z
     # derive the carry init from ro.x so it inherits ro's vma (inside
     # shard_map a replicated zeros init would mismatch the carry type)
     zero = ro.x * 0
-    init = (zero + jnp.inf, zero.astype(jnp.int32), zero > 1)
+    init = (zero + jnp.inf, zero.astype(jnp.int32) + _ID_SENTINEL,
+            zero > 1)
 
     def step(carry, xs):
-        row, gid = xs
-        is_sph = gid < n_sph_pad
+        row, gid, rowid = xs
+        is_sph = rowid < n_sph_pad
         # sphere branch
         ocx, ocy, ocz = ro.x - row[0], ro.y - row[1], ro.z - row[2]
         b = 2.0 * (rd.x * ocx + rd.y * ocy + rd.z * ocz)
@@ -156,7 +173,7 @@ def _jnp_scan_reference(table, n_sph_pad, ro, rd):
         ts1 = (-b - sq) * inv2a
         ts2 = (-b + sq) * inv2a
         ts = jnp.where(ts1 > 0.0, ts1, ts2)
-        vs = has & (ts > 0.0)
+        vs = has & (ts > 0.0) & (row[3] > 0.0)  # r > 0: mask pad rows
         # plane branch
         denom = rd.x * row[0] + rd.y * row[1] + rd.z * row[2]
         numer = row[3] - (ro.x * row[0] + ro.y * row[1] + ro.z * row[2])
@@ -168,16 +185,16 @@ def _jnp_scan_reference(table, n_sph_pad, ro, rd):
         v_i = jnp.where(is_sph, vs, vp)
         t_best, obj, hit = carry
         t_i = jnp.where(v_i, t_i, jnp.inf)
-        better = t_i < t_best
+        better = (t_i < t_best) | ((t_i == t_best) & v_i & (gid < obj))
         return (jnp.where(better, t_i, t_best),
                 jnp.where(better, gid, obj), hit | v_i), None
 
-    ids = jnp.arange(table.shape[0], dtype=jnp.int32)
-    (t, obj, hit), _ = jax.lax.scan(step, init, (table, ids))
+    rowids = jnp.arange(table.shape[0], dtype=jnp.int32)
+    (t, obj, hit), _ = jax.lax.scan(step, init, (table, ids, rowids))
     return t, obj, hit
 
 
-def _scan_hit_fwd_kernel(table, n_sph_pad, ro, rd):
+def _scan_hit_fwd_kernel(table, ids, n_sph_pad, ro, rd):
     n = ro.x.shape[0]
     rows = -(-n // LANE)
     rows_pad = -(-rows // BLOCK_ROWS) * BLOCK_ROWS
@@ -196,6 +213,9 @@ def _scan_hit_fwd_kernel(table, n_sph_pad, ro, rd):
                         memory_space=pltpu.VMEM)
     tab = pl.BlockSpec((_OBJ_CHUNK, 4), lambda i, j: (j, 0),
                        memory_space=pltpu.VMEM)
+    # whole-array SMEM resident (tiny); blocked SMEM windows would hit
+    # the (8, 128)-divisibility rule on real TPU lowering
+    idt = pl.BlockSpec(memory_space=pltpu.SMEM)
     vma = getattr(jax.typeof(ro.x), "vma", frozenset())
     shp = lambda dt: jax.ShapeDtypeStruct(  # noqa: E731
         (rows_pad, LANE), dt, vma=vma)
@@ -203,32 +223,35 @@ def _scan_hit_fwd_kernel(table, n_sph_pad, ro, rd):
     fn = pl.pallas_call(
         partial(_kernel, n_sph_chunks=n_sph_pad // _OBJ_CHUNK),
         grid=grid,
-        in_specs=[tab, lane, lane, lane, lane, lane, lane],
+        in_specs=[idt, tab, lane, lane, lane, lane, lane, lane],
         out_specs=(lane, lane, lane),
         out_shape=(shp(ro.x.dtype), shp(jnp.int32), shp(jnp.int32)),
         interpret=_env_flag("RAYTRACE_TPU_MEGAKERNEL_INTERPRET"),
     )
-    t, obj, hit = fn(table, block(ro.x), block(ro.y), block(ro.z),
+    t, obj, hit = fn(ids.reshape(n_chunks, _OBJ_CHUNK), table,
+                     block(ro.x), block(ro.y), block(ro.z),
                      block(rd.x), block(rd.y), block(rd.z))
     unb = lambda x: x.reshape(-1)[:n]  # noqa: E731
     return unb(t), unb(obj), unb(hit) != 0
 
 
-def _vjp_fwd(table, n_sph_pad, ro, rd):
-    out = _scan_hit_fwd_kernel(table, n_sph_pad, ro, rd)
-    return out, (table, ro, rd)
+def _vjp_fwd(table, ids, n_sph_pad, ro, rd):
+    out = _scan_hit_fwd_kernel(table, ids, n_sph_pad, ro, rd)
+    return out, (table, ids, ro, rd)
 
 
 def _vjp_bwd(n_sph_pad, res, g):
-    table, ro, rd = res
+    table, ids, ro, rd = res
     gt = g[0]  # obj/hit are integral: no cotangent
 
     def fwd_t(table, ro, rd):
-        t, _, _ = _jnp_scan_reference(table, n_sph_pad, ro, rd)
+        t, _, _ = _jnp_scan_reference(table, ids, n_sph_pad, ro, rd)
         return t
 
     _, vjp = jax.vjp(fwd_t, table, ro, rd)
-    return vjp(gt)
+    d_table, d_ro, d_rd = vjp(gt)
+    d_ids = np.zeros(ids.shape, jax.dtypes.float0)  # int primal
+    return d_table, d_ids, d_ro, d_rd
 
 
 scan_hit.defvjp(_vjp_fwd, _vjp_bwd)

@@ -40,9 +40,10 @@ def shard_geometry(data: SceneData, spec: SceneSpec, k: int):
 
     Returns ``(tables (k, C, 4), ids (k, C), n_sph_pad)`` where every
     shard holds ``n_sph_pad`` sphere rows (cx, cy, cz, r) followed by
-    plane rows (n, p.n); zero-padding rows are self-masking and carry
-    id -1.  Index maps are static (from SceneSpec); values stay jnp so
-    gradients flow back into ``data``.
+    plane rows (n, p.n); zero-padding rows are masked by the kernel's
+    r > 0 / n != 0 validity and carry id -1.  Index maps are static
+    (from SceneSpec); values stay jnp so gradients flow back into
+    ``data``.
     """
     sph, pln = _typed_geometry(data, spec)
     dt = data.prim_p.dtype
@@ -77,12 +78,15 @@ def shard_geometry(data: SceneData, spec: SceneSpec, k: int):
 
 
 def _shard_hit(table, ids, n_sph_pad: int, ro: V3, rd: V3):
-    """(t, global obj id, hit) of one resident shard vs the ray shard."""
+    """(t, global obj id, hit) of one resident shard vs the ray shard.
+
+    scan_hit folds on global ids directly, so within a shard an exact
+    t tie already resolves to the lowest global id (scene.rs:248);
+    the cross-shard fold in ring_closest_hit_local does the same.
+    """
     if ip.usable(ro.x.dtype) and ro.x.ndim == 1:
-        t, rid, hit = ip.scan_hit(table, n_sph_pad, ro, rd)
-    else:
-        t, rid, hit = ip._jnp_scan_reference(table, n_sph_pad, ro, rd)
-    return t, ids[rid], hit
+        return ip.scan_hit(table, ids, n_sph_pad, ro, rd)
+    return ip._jnp_scan_reference(table, ids, n_sph_pad, ro, rd)
 
 
 def ring_closest_hit_local(table, ids, n_sph_pad: int, ro: V3, rd: V3,

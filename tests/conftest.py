@@ -34,3 +34,28 @@ enable_compile_cache(os.path.join(os.path.dirname(__file__), "..",
 assert jax.default_backend() == "cpu", (
     "tests must run on the virtual CPU mesh, got " + jax.default_backend())
 assert jax.device_count() == 8
+
+# ---------------------------------------------------------------------------
+# Shared path anchors (no hardcoded checkout locations, ADVICE.md r1)
+
+from pathlib import Path  # noqa: E402
+
+import pytest  # noqa: E402
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+# upstream reference snapshot; optional — tests needing it skip if absent
+REFERENCE_DIR = Path(os.environ.get("RAYTRACE_TPU_REFERENCE_DIR",
+                                    "/root/reference"))
+
+
+def reference_path(*parts) -> Path:
+    """Path under the reference snapshot, skipping if unavailable."""
+    p = REFERENCE_DIR.joinpath(*parts)
+    if not p.exists():
+        pytest.skip(f"reference snapshot not available: {p}",
+                    allow_module_level=True)
+    return p
+
+
+def repo_path(*parts) -> Path:
+    return REPO_ROOT.joinpath(*parts)

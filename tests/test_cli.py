@@ -9,6 +9,8 @@ import numpy as np
 
 from raytrace_tpu.io.bmp import read_bmp
 
+from conftest import reference_path
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -23,7 +25,7 @@ def _run(args, cwd):
 
 def test_cli_end_to_end(tmp_path):
     out = tmp_path / "render.bmp"
-    r = _run(["/root/reference/test_scene.txt", "-o", str(out),
+    r = _run([str(reference_path("test_scene.txt")), "-o", str(out),
               "--width", "16", "--height", "12", "--spp", "2", "-q"],
              cwd=REPO)
     assert r.returncode == 0, r.stderr
@@ -33,7 +35,7 @@ def test_cli_end_to_end(tmp_path):
 
     # header matches the reference writer at width-independent offsets
     blob = open(out, "rb").read()
-    ref = open("/root/reference/out.bmp", "rb").read(122)
+    ref = reference_path("out.bmp").read_bytes()[:122]
     assert blob[:2] == ref[:2] == b"BM"
     assert blob[10:14] == ref[10:14]        # pixel offset 0x7A
     assert blob[14:18] == ref[14:18]        # DIB size 0x6C
@@ -45,7 +47,7 @@ def test_cli_end_to_end(tmp_path):
 
 def test_cli_shard_flag_matches(tmp_path):
     a, b = tmp_path / "a.bmp", tmp_path / "b.bmp"
-    common = ["/root/reference/test_scene.txt", "--width", "8",
+    common = [str(reference_path("test_scene.txt")), "--width", "8",
               "--height", "8", "--spp", "2", "--seed", "4", "-q"]
     r1 = _run([*common, "-o", str(a)], cwd=REPO)
     r2 = _run([*common, "-o", str(b), "--shard"], cwd=REPO)
@@ -72,7 +74,7 @@ def test_cli_bad_scene_error(tmp_path):
 def test_cli_checkpoint_resume(tmp_path):
     out = tmp_path / "r.bmp"
     ck = tmp_path / "state.npz"
-    common = ["/root/reference/test_scene.txt", "--width", "8",
+    common = [str(reference_path("test_scene.txt")), "--width", "8",
               "--height", "8", "--spp", "4", "--seed", "1", "-q",
               "--checkpoint", str(ck)]
     r1 = _run([*common, "-o", str(out)], cwd=REPO)

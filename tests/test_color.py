@@ -9,7 +9,9 @@ import pytest
 
 from raytrace_tpu import color as colorlib
 
-REF_COLOR_RS = "/root/reference/src/color.rs"
+from conftest import REFERENCE_DIR
+
+REF_COLOR_RS = str(REFERENCE_DIR / "src" / "color.rs")
 
 
 def _extract_table(name: str, count: int) -> np.ndarray:

@@ -7,7 +7,9 @@ import pytest
 from raytrace_tpu.scene import dsl
 
 
-REF_SCENE = open("/root/reference/test_scene.txt").read()
+from conftest import reference_path
+
+REF_SCENE = reference_path("test_scene.txt").read_text()
 
 
 def test_parses_reference_scene_verbatim():

@@ -20,8 +20,10 @@ from raytrace_tpu.render.integrator import render_image
 from raytrace_tpu.scene import dsl
 from raytrace_tpu.scene.builder import build_scene
 
-GOLDEN = "/root/reference/out.bmp"
-REF_SCENE = open("/root/reference/test_scene.txt").read()
+from conftest import reference_path
+
+GOLDEN = str(reference_path("out.bmp"))
+REF_SCENE = reference_path("test_scene.txt").read_text()
 
 
 @pytest.mark.slow

@@ -21,7 +21,9 @@ from raytrace_tpu.render.integrator import render_image
 
 import ref_scalar
 
-REF_SCENE = open("/root/reference/test_scene.txt").read()
+from conftest import reference_path, repo_path
+
+REF_SCENE = reference_path("test_scene.txt").read_text()
 
 
 def _small(scene_src: str, w=6, h=6):
@@ -140,7 +142,7 @@ def test_compaction_bit_identical(monkeypatch):
     from raytrace_tpu.scene import dsl as _dsl
     from raytrace_tpu.scene.builder import build_scene as _build
 
-    src = open("/root/repo/examples/materials_showcase.txt").read()
+    src = repo_path("examples", "materials_showcase.txt").read_text()
     sc = _build(_dsl.parse(src), dtype=jnp.float64)
     sc = dataclasses.replace(
         sc, spec=dataclasses.replace(sc.spec, max_depth=2))

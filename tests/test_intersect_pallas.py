@@ -29,13 +29,13 @@ def test_scan_kernel_matches_lax_scan(interpret_env):
     sc = make_sphere_field(100, mix_materials=False)
     ro, rd = _rays(333)
     table, n_sph_pad, idmap = _packed_tables(sc.data, sc.spec)
-    t_k, gid, hit_k = ip.scan_hit(table, n_sph_pad, ro, rd)
+    t_k, gid, hit_k = ip.scan_hit(table, idmap, n_sph_pad, ro, rd)
     t_j, obj_j, hit_j = _scan_all_objects(sc.data, sc.spec, ro, rd,
                                           dot(rd, rd))
     np.testing.assert_array_equal(np.asarray(hit_k), np.asarray(hit_j))
     ok = np.asarray(hit_j)
     np.testing.assert_array_equal(
-        np.asarray(idmap)[np.asarray(gid)][ok], np.asarray(obj_j)[ok])
+        np.asarray(gid)[ok], np.asarray(obj_j)[ok])
     np.testing.assert_allclose(np.asarray(t_k)[ok], np.asarray(t_j)[ok],
                                rtol=1e-6)
 
@@ -44,11 +44,11 @@ def test_scan_kernel_grad(interpret_env):
     """custom_vjp: d(sum t)/d(table, rays) matches the jnp scan's grad."""
     sc = make_sphere_field(80, mix_materials=False)
     ro, rd = _rays(64, seed=3)
-    table, n_sph_pad, _ = _packed_tables(sc.data, sc.spec)
+    table, n_sph_pad, idmap = _packed_tables(sc.data, sc.spec)
 
     def loss(fn):
         def inner(table, ro, rd):
-            t, _, hit = fn(table, n_sph_pad, ro, rd)
+            t, _, hit = fn(table, idmap, n_sph_pad, ro, rd)
             return jnp.sum(jnp.where(hit, t, 0.0))
         return inner
 

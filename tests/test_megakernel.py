@@ -11,7 +11,9 @@ from raytrace_tpu.render import megakernel
 from raytrace_tpu.render.integrator import primary_rays, radiance_linear_v
 from raytrace_tpu.scene.builder import load_scene_file
 
-GOLDEN = "/root/reference/test_scene.txt"
+from conftest import reference_path
+
+GOLDEN = str(reference_path("test_scene.txt"))
 
 
 @pytest.fixture()

@@ -16,7 +16,9 @@ from raytrace_tpu.parallel.mesh import make_mesh, make_mesh_2d
 from raytrace_tpu.parallel.tile import render_image_sharded
 from raytrace_tpu.optim import loss_and_grad, make_sharded_step
 
-REF_SCENE = open("/root/reference/test_scene.txt").read()
+from conftest import reference_path
+
+REF_SCENE = reference_path("test_scene.txt").read_text()
 
 
 def _scene(w=16, h=16, dtype=jnp.float64):
