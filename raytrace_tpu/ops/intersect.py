@@ -91,8 +91,12 @@ class HitRec(NamedTuple):
 
 
 def _object_t(data: SceneData, spec: SceneSpec, i: int, ro: V3, rd: V3,
-              a, rd_ro=None):
-    """t and validity for object ``i`` (static), as (N,) arrays."""
+              a, inv2a=None):
+    """t and validity for object ``i`` (static), as (N,) arrays.
+
+    ``inv2a = 0.5 / a`` is hoisted to the caller's per-level scope when
+    provided — it is ray-only, so the division runs once per closest-hit
+    round instead of once per sphere."""
     if spec.shape_type[i] == SHAPE_SPHERE:
         c = V3(data.prim_p[i, 0], data.prim_p[i, 1], data.prim_p[i, 2])
         r = data.prim_q[i, 0]
@@ -102,7 +106,8 @@ def _object_t(data: SceneData, spec: SceneSpec, i: int, ro: V3, rd: V3,
         disc = b * b - 4.0 * a * cc
         has = disc > 0.0
         sq = jnp.sqrt(jnp.where(has, disc, 1.0))   # NaN-safe for grads
-        inv2a = 0.5 / a
+        if inv2a is None:
+            inv2a = 0.5 / a
         t1 = (-b - sq) * inv2a
         t2 = (-b + sq) * inv2a
         t = jnp.where(t1 > 0.0, t1, t2)
@@ -352,8 +357,10 @@ def closest_hit(data: SceneData, spec: SceneSpec, ro: V3, rd: V3) -> HitRec:
     obj = jnp.zeros(n_like.shape, jnp.int32)
     sel = None  # dict of selected params
 
+    has_sphere = any(spec.shape_type[i] == SHAPE_SPHERE for i in live_obj)
+    inv2a = 0.5 / a if has_sphere else None
     for i in live_obj:
-        t_i, v_i = _object_t(data, spec, i, ro, rd, a)
+        t_i, v_i = _object_t(data, spec, i, ro, rd, a, inv2a)
         t_i = jnp.where(v_i, t_i, jnp.inf)
         better = t_i < t_best
         t_best = jnp.where(better, t_i, t_best)
@@ -436,10 +443,12 @@ def occluded_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
             return hit & (t_best * t_best < sq_range)
         return hit
     blocked = jnp.zeros(ro.x.shape, bool)
+    has_sphere = any(t == SHAPE_SPHERE for t in spec.shape_type)
+    inv2a = 0.5 / a if has_sphere else None
     for i in range(spec.n_objects):
         if spec.shape_type[i] < 0:
             continue
-        t_i, v_i = _object_t(data, spec, i, ro, rd, a)
+        t_i, v_i = _object_t(data, spec, i, ro, rd, a, inv2a)
         if has_range:
             v_i = v_i & (t_i * t_i < sq_range)
         blocked = blocked | v_i

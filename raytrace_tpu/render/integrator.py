@@ -133,6 +133,125 @@ def radiance_linear_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
     return acc
 
 
+def _route_children(children, m: int, tp: V3, k1, k2):
+    """b child slots -> m virtual children, routed per lane in registers.
+
+    The elementwise analog of :func:`_compact_children` for the DFS tree
+    walk (:func:`radiance_tree_v`).  There a lane's b child slots are
+    separate register values (not segments of a widened lane axis), so
+    routing the <=m live ones into the first m virtual slots is a pure
+    per-lane selection network with no reshape — which is what lets it
+    run on ``(rows, 128)`` VMEM blocks inside the Pallas megakernel.
+
+    RNG keys are derived from the ORIGINAL slot index before routing, so
+    every surviving child keeps the exact stream identity it has in the
+    (un)compacted wavefront.  Returns m tuples
+    ``(ro, rd, sig, tp, live, k1, k2)`` where ``tp`` is the parent
+    throughput already multiplied by the child's weight.
+    """
+    b = len(children)
+    keys = [rng.derive(k1, k2, c.slot) for c in children]
+    tps = [tp.mul(c.weight) for c in children]
+
+    # exclusive running count of live slots = destination virtual slot
+    run = jnp.zeros(children[0].live.shape, jnp.int32)
+    prefix = []
+    for c in children:
+        prefix.append(run)
+        run = run + c.live.astype(jnp.int32)
+
+    virt = []
+    for j in range(m):
+        take = [children[s].live & (prefix[s] == j) for s in range(b)]
+
+        def sel(getter):
+            out = jnp.zeros_like(getter(0))
+            for s in range(1, b):
+                out = jnp.where(take[s], getter(s), out)
+            return jnp.where(take[0], getter(0), out)
+
+        def selv(getter):
+            return V3(sel(lambda s: getter(s).x),
+                      sel(lambda s: getter(s).y),
+                      sel(lambda s: getter(s).z))
+
+        live = take[0]
+        for s in range(1, b):
+            live = live | take[s]
+        virt.append((selv(lambda s: children[s].ro),
+                     selv(lambda s: children[s].rd),
+                     sel(lambda s: children[s].sig),
+                     selv(lambda s: tps[s]),
+                     live,
+                     sel(lambda s: keys[s][0]),
+                     sel(lambda s: keys[s][1])))
+    return virt
+
+
+def radiance_tree_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
+                    k1, k2, significance=None) -> V3:
+    """Radiance for fan-out scenes as a static DFS over the virtual
+    child tree — the *shape-agnostic* counterpart of :func:`radiance_v`.
+
+    :func:`radiance_v` widens the lane axis by the branching factor at
+    each level and compacts it with reshapes, which a Pallas kernel
+    operating on fixed ``(rows, 128)`` register blocks cannot do.  Here
+    the recursion tree of ``ray_color`` (raytrace.rs:261-267) is walked
+    depth-first instead: each node performs one closest-hit + shade on
+    the SAME lane shape, routes its b child slots into
+    ``m = spec.max_live_children`` virtual children per lane
+    (:func:`_route_children` — the slot gates are material-exclusive,
+    raytrace.rs:59-64/99-117/154-164/214-223, so at most m are live),
+    and recurses into each.  Total work is ``sum_d m^d`` node visits —
+    identical lane-work to the compacted wavefront, with zero lane-axis
+    reshapes.
+
+    Visits the same child set with the same RNG stream identities as
+    :func:`radiance_v`; only the floating-point accumulation ORDER
+    differs (DFS vs per-level block sums), so the two agree to roundoff
+    rather than bit-for-bit.
+    """
+    dtype = ro.x.dtype
+    sig = (jnp.ones_like(ro.x) if significance is None
+           else jnp.broadcast_to(significance, ro.x.shape).astype(dtype))
+    live = jnp.ones(ro.x.shape, bool)
+    tp = vec.full_like(sig, 1.0)
+
+    def node(ro, rd, sig, live, tp, k1, k2, depth):
+        hit = closest_hit(data, spec, ro, rd)
+        emit, children = shade(data, spec, ro, rd, hit, sig, live, k1, k2,
+                               depth)
+        bg = background_color_v(data, spec, rd)
+        local = vec.where(hit.hit, emit, bg)
+        acc = vec.where(live, tp.mul(local), vec.full_like(sig, 0.0))
+        if not children:
+            return acc
+        m = min(max(spec.max_live_children, 1), len(children))
+        if m < len(children):
+            virt = _route_children(children, m, tp, k1, k2)
+        else:
+            virt = [(c.ro, c.rd, c.sig, tp.mul(c.weight), c.live)
+                    + rng.derive(k1, k2, c.slot) for c in children]
+        for cro, crd, csig, ctp, clive, ck1, ck2 in virt:
+            ctp = vec.where(clive, ctp, vec.full_like(csig, 0.0))
+            acc = acc + node(cro, crd, csig, clive, ctp, ck1, ck2,
+                             depth + 1)
+        return acc
+
+    return node(ro, rd, sig, live, tp, k1, k2, 0)
+
+
+def tree_nodes(spec: SceneSpec) -> int:
+    """Closest-hit rounds per lane in :func:`radiance_tree_v` (the DFS
+    node count): ``sum_{d=0}^{max_depth+1} m^d``."""
+    m = max(min(spec.max_live_children, spec.children_per_ray), 1)
+    total, w = 0, 1
+    for _ in range(spec.max_depth + 2):
+        total += w
+        w *= m
+    return total
+
+
 def radiance_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3, k1, k2,
                significance=None) -> V3:
     """Radiance for a batch of primary rays — ``ray_color`` for a

@@ -53,11 +53,18 @@ from raytrace_tpu.ops.vec import V3
 from raytrace_tpu.scene.schema import BG_SOLID, SceneData, SceneSpec
 
 # lane-block geometry: each grid step processes (BLOCK_ROWS, 128) lanes.
-# Measured on v5e (median chained launches, 2M lanes): 32/64/128 rows ~
-# 5.5-7G rays/s, 256 -> 4.9G, 512 -> 3.8G (VMEM pressure hurts grid-step
-# pipelining); 128 is the default sweet spot.
+# Measured on v5e (median chained launches, 2M lanes) with the grid
+# marked parallel: 64 rows -> 6.1-6.9G rays/s, 16/32 -> 6.4G,
+# 128 -> 5.7G, 256+ -> <5G (VMEM pressure hurts grid-step pipelining);
+# under "arbitrary" semantics every size sits at 5.6-5.9G.
 LANE = 128
-BLOCK_ROWS = int(os.environ.get("RAYTRACE_TPU_MEGAKERNEL_ROWS", "128"))
+BLOCK_ROWS = int(os.environ.get("RAYTRACE_TPU_MEGAKERNEL_ROWS", "64"))
+# fan-out (tree-walk) scenes hold each pending sibling's ray state live
+# across the DFS (~11 blocks x depth lanes of f32), so they take smaller
+# blocks to stay within VMEM (32 rows exceeds the 16M scoped-vmem stack
+# limit by 0.6M on v5e for a 63-node tree; 16 compiles and runs)
+TREE_BLOCK_ROWS = int(os.environ.get(
+    "RAYTRACE_TPU_MEGAKERNEL_TREE_ROWS", "16"))
 
 # packed scalar layout: every SceneData leaf except bg_cube (solid
 # backgrounds never touch it), in declaration order
@@ -76,15 +83,28 @@ def _env_flag(name: str) -> bool:
     return os.environ.get(name, "") not in ("", "0")
 
 
+# fan-out scenes run as a DFS over the virtual child tree
+# (integrator.radiance_tree_v); each tree node is one inlined closest-hit
+# + shade round, so the kernel body grows linearly with the node count.
+# 63 = a 2-live-children scene at depth 4 (transparent reflect+refract,
+# 2-sample indirect).  Beyond the budget the jnp wavefront (which
+# compacts on the lane axis) takes over.
+TREE_NODE_BUDGET = int(os.environ.get(
+    "RAYTRACE_TPU_MEGAKERNEL_TREE_NODES", "63"))
+
+
 def usable(data: SceneData, spec: SceneSpec) -> bool:
     """Whether this (data, spec) renders through the megakernel."""
+    from raytrace_tpu.render.integrator import tree_nodes
+
     if _env_flag("RAYTRACE_TPU_NO_MEGAKERNEL"):
         return False
     interpret = _env_flag("RAYTRACE_TPU_MEGAKERNEL_INTERPRET")
     if not interpret and jax.default_backend() != "tpu":
         return False
     n_live = sum(1 for t in spec.shape_type if t >= 0)
-    return (spec.children_per_ray <= 1
+    return ((spec.children_per_ray <= 1
+             or tree_nodes(spec) <= TREE_NODE_BUDGET)
             and spec.bg_type == BG_SOLID
             and n_live <= LARGE_SCENE_THRESHOLD
             and jnp.dtype(data.prim_p.dtype) == jnp.float32)
@@ -151,15 +171,23 @@ def _unpack_params(params_ref, shapes, dtype):
     return SimpleNamespace(**fields)
 
 
+def _radiance_fn(spec: SceneSpec):
+    """The shape-agnostic radiance chain for this scene: the linear
+    level loop for fan-out <= 1, the DFS tree walk otherwise."""
+    from raytrace_tpu.render.integrator import (radiance_linear_v,
+                                                radiance_tree_v)
+    return (radiance_linear_v if spec.children_per_ray <= 1
+            else radiance_tree_v)
+
+
 def _kernel(params_ref, pix_ref, piy_ref, aa_ref, cam_ref,
             out_x, out_y, out_z, *, spec: SceneSpec, seed: int, shapes):
-    from raytrace_tpu.render.integrator import (primary_rays,
-                                                radiance_linear_v)
+    from raytrace_tpu.render.integrator import primary_rays
 
     data = _unpack_params(params_ref, shapes, jnp.float32)
     ro, rd, k1, k2 = primary_rays(data, spec, pix_ref[...], piy_ref[...],
                                   aa_ref[...], cam_ref[...], seed)
-    rad = radiance_linear_v(data, spec, ro, rd, k1, k2)
+    rad = _radiance_fn(spec)(data, spec, ro, rd, k1, k2)
     out_x[...] = rad.x
     out_y[...] = rad.y
     out_z[...] = rad.z
@@ -190,10 +218,9 @@ def _radiance_lanes_vjp(data, spec, pix, piy, aa, cam, seed):
 
 
 def _jnp_reference(data, spec, pix, piy, aa, cam, seed):
-    from raytrace_tpu.render.integrator import (primary_rays,
-                                                radiance_linear_v)
+    from raytrace_tpu.render.integrator import primary_rays
     ro, rd, k1, k2 = primary_rays(data, spec, pix, piy, aa, cam, seed)
-    v = radiance_linear_v(data, spec, ro, rd, k1, k2)
+    v = _radiance_fn(spec)(data, spec, ro, rd, k1, k2)
     return (v.x, v.y, v.z)
 
 
@@ -221,9 +248,11 @@ def _radiance_lanes_fwd_kernel(data: SceneData, spec: SceneSpec, pix, piy,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    block_rows = (BLOCK_ROWS if spec.children_per_ray <= 1
+                  else TREE_BLOCK_ROWS)
     n = pix.shape[0]
     rows = -(-n // LANE)
-    rows_pad = -(-rows // BLOCK_ROWS) * BLOCK_ROWS
+    rows_pad = -(-rows // block_rows) * block_rows
     total = rows_pad * LANE
 
     def block(a):
@@ -233,18 +262,20 @@ def _radiance_lanes_fwd_kernel(data: SceneData, spec: SceneSpec, pix, piy,
 
     params = _pack_params(data)
     shapes = _leaf_shapes(data)
-    grid = (rows_pad // BLOCK_ROWS,)
+    grid = (rows_pad // block_rows,)
 
-    lane_spec = pl.BlockSpec((BLOCK_ROWS, LANE), lambda i: (i, 0),
+    lane_spec = pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     # inside shard_map the output varies over the same mesh axes as the
     # lane-id inputs; vma must be declared on the out avals
     vma = getattr(jax.typeof(pix), "vma", frozenset())
     out_shape = jax.ShapeDtypeStruct((rows_pad, LANE), jnp.float32, vma=vma)
 
+    # lane blocks are independent: the grid axis is truly parallel
+    sem = os.environ.get("RAYTRACE_TPU_MEGAKERNEL_SEMANTICS", "parallel")
     try:
         compiler_params = pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",))
+            dimension_semantics=(sem,))
     except TypeError:  # older/newer field sets
         compiler_params = None
 

@@ -1,0 +1,88 @@
+"""DFS tree-walk radiance (integrator.radiance_tree_v): the
+shape-agnostic fan-out path that lets the Pallas megakernel run
+transparent / multi-sample-indirect scenes entirely in VMEM.
+
+Correctness contract: the tree walk visits the same virtual-compacted
+child set with the same RNG stream identities as the wavefront
+``radiance_v`` (tested against the scalar oracle elsewhere); only the
+floating-point accumulation order differs, so f64 agreement must be at
+roundoff level.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from raytrace_tpu.render import megakernel
+from raytrace_tpu.render.integrator import (primary_rays, radiance_tree_v,
+                                            radiance_v, tree_nodes)
+from raytrace_tpu.scene.builder import load_scene_file
+
+from conftest import repo_path
+
+SHOWCASE = str(repo_path("examples", "materials_showcase.txt"))
+CORNELL = str(repo_path("examples", "cornell_indirect.txt"))
+
+
+def _lanes(spec, n, seed=3):
+    r = np.random.RandomState(seed)
+    pix = jnp.asarray(r.randint(0, spec.width, n), jnp.uint32)
+    piy = jnp.asarray(r.randint(0, spec.height, n), jnp.uint32)
+    aa = jnp.asarray(r.randint(0, 4, n), jnp.uint32)
+    cam = jnp.asarray(r.randint(0, spec.cam_samples, n), jnp.uint32)
+    return pix, piy, aa, cam
+
+
+@pytest.mark.parametrize("scene_file", [SHOWCASE, CORNELL])
+def test_tree_matches_wavefront_f64(scene_file):
+    """DFS tree == lane-compacted wavefront at f64 roundoff, across all
+    four materials, three light models, DoF camera, fan-out B=4/m=2
+    (materials_showcase) and the linear golden-style chain (cornell)."""
+    sc = load_scene_file(scene_file, dtype=jnp.float64)
+    pix, piy, aa, cam = _lanes(sc.spec, 512)
+    ro, rd, k1, k2 = primary_rays(sc.data, sc.spec, pix, piy, aa, cam, 5)
+    want = radiance_v(sc.data, sc.spec, ro, rd, k1, k2)
+    got = radiance_tree_v(sc.data, sc.spec, ro, rd, k1, k2)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-12, atol=1e-14)
+
+
+def test_tree_nodes_counts():
+    sc = load_scene_file(SHOWCASE)
+    assert sc.spec.children_per_ray == 4
+    assert sc.spec.max_live_children == 2
+    assert tree_nodes(sc.spec) == 63          # sum_{d=0}^{5} 2^d
+    lin = load_scene_file(CORNELL)
+    assert tree_nodes(lin.spec) == 6          # m=1: one node per level
+
+
+def test_megakernel_fanout_usable(monkeypatch):
+    """The usable() gate admits fan-out scenes within the node budget
+    and rejects them beyond it."""
+    monkeypatch.setenv("RAYTRACE_TPU_MEGAKERNEL_INTERPRET", "1")
+    sc = load_scene_file(SHOWCASE, dtype=jnp.float32)
+    assert megakernel.usable(sc.data, sc.spec)
+    monkeypatch.setattr(megakernel, "TREE_NODE_BUDGET", 62)
+    assert not megakernel.usable(sc.data, sc.spec)
+
+
+def test_megakernel_fanout_parity(monkeypatch):
+    """Fused fan-out kernel (interpret mode) == jnp tree walk.
+
+    Same traced ops compiled separately — parity is statistical like
+    the golden-scene megakernel test: FMA contraction can flip
+    silhouette-grazing lanes."""
+    monkeypatch.setenv("RAYTRACE_TPU_MEGAKERNEL_INTERPRET", "1")
+    sc = load_scene_file(SHOWCASE, dtype=jnp.float32)
+    pix, piy, aa, cam = _lanes(sc.spec, 96)
+    got = megakernel.radiance_lanes(sc.data, sc.spec, pix, piy, aa, cam,
+                                    seed=3)
+    ro, rd, k1, k2 = primary_rays(sc.data, sc.spec, pix, piy, aa, cam, 3)
+    want = radiance_tree_v(sc.data, sc.spec, ro, rd, k1, k2)
+    for g, w in zip(got, want):
+        g, w = np.asarray(g), np.asarray(w)
+        close = np.isclose(g, w, rtol=1e-5, atol=1e-6)
+        assert close.mean() > 0.95, f"only {close.mean():.3f} lanes match"
+        np.testing.assert_allclose(g.mean(), w.mean(), rtol=0.05)
+    assert float(np.max(np.asarray(got.x))) > 0.0
