@@ -457,12 +457,25 @@ def _wavefront_widest(spec: SceneSpec) -> int:
     return b * m ** spec.max_depth
 
 
-def _s_p_launch(spec: SceneSpec, aa: int, max_lanes: int):
+def _lane_width(data: SceneData, spec: SceneSpec) -> int:
+    """Peak device arrays per primary-sample lane.  The Pallas megakernel
+    never widens the lane axis (fan-out runs as a register DFS,
+    radiance_tree_v), so a launch costs O(1) memory per lane; the jnp
+    wavefront materializes the widest level.  Sizing launches by the
+    wavefront width when the kernel is active starves the device with
+    tiny launches (measured: 64x-undersized launches made a branching-4
+    render 100% tunnel-latency-bound)."""
+    from raytrace_tpu.render import megakernel
+    if megakernel.usable(data, spec):
+        return 1
+    return _wavefront_widest(spec)
+
+
+def _s_p_launch(spec: SceneSpec, aa: int, max_lanes: int, widest: int = 1):
     """Pick (samples, pixels) per launch so the wavefront's widest level
     stays within the device lane budget — and *fills* that budget: TPU
     throughput rises ~3.5x from 262k to 2M lanes per launch, so small
     images take more samples per launch."""
-    widest = _wavefront_widest(spec)
     lane_budget = max(max_lanes // (widest * spec.cam_samples), 1)
     n_pix = spec.width * spec.height
     if n_pix <= lane_budget:
@@ -488,7 +501,8 @@ def _image_loop(scene: Scene, launch, *, seed: int, spp: int | None,
     data, spec = scene.data, scene.spec
     w, h = spec.width, spec.height
     aa = spp if spp is not None else max(spec.antialias, 1)
-    s_launch, p_launch = _s_p_launch(spec, aa, max_lanes)
+    s_launch, p_launch = _s_p_launch(spec, aa, max_lanes,
+                                     _lane_width(data, spec))
 
     image = np.zeros((h * w, 3), np.float64)
     s_done = 0
