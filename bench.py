@@ -22,11 +22,16 @@ throughput (see BASELINE.md §"de novo"); update it if re-measured.
 
 import dataclasses
 import json
+import os
 import sys
 import time
 from functools import partial
 
 import numpy as np
+
+# upstream reference snapshot (the golden workload's scene file)
+REFERENCE_DIR = os.environ.get("RAYTRACE_TPU_REFERENCE_DIR",
+                               "/root/reference")
 
 # Anchor: the reference Rust binary is single-thread scalar f64.  Rust
 # is unavailable in this image, so the anchor was MEASURED with a
@@ -46,7 +51,7 @@ def main():
 
     enable_compile_cache()
 
-    sc = load_scene_file("/root/reference/test_scene.txt",
+    sc = load_scene_file(os.path.join(REFERENCE_DIR, "test_scene.txt"),
                          dtype=jnp.float32)
     # BASELINE config: 1024^2, depth-4 (golden scene constants)
     spec = dataclasses.replace(sc.spec, width=1024, height=1024)

@@ -149,6 +149,14 @@ def _snapped_point(pt: V3, rel: V3, inv, is_sph, radius, nrm: V3,
 LARGE_SCENE_THRESHOLD = 64
 _SCAN_CHUNK = 16
 
+# winning-row lookup strategy for the scanned regime: the one-hot MXU
+# contraction (ops/gather.py, HIGHEST precision for bit-exactness) beats
+# jnp.take below this object count; above it the O(N*O) matmul flops
+# overtake the gather's fixed cost.  Measured on v5e (524k lanes,
+# (O, 22) table, marginal chained-launch cost): take = 1.3 ms at every
+# O; exact one-hot = 0.44 ms @ O=128, 1.18 ms @ O=1024 => use 512.
+ONE_HOT_LOOKUP_MAX_OBJECTS = 512
+
 
 def _typed_geometry(data: SceneData, spec: SceneSpec):
     """Static type partition: (sphere idx, plane idx) as np arrays."""
@@ -313,7 +321,12 @@ def _closest_hit_scanned(data: SceneData, spec: SceneSpec, ro: V3,
         data.mat_samples[:, None],                      # 15, 16, 17
         jnp.asarray(flags, dtype),                      # 18:22
     ], axis=1)
-    rows = jnp.take(table, obj, axis=0)                 # (N, 22)
+    if (table.shape[0] <= ONE_HOT_LOOKUP_MAX_OBJECTS
+            and jnp.dtype(dtype) == jnp.float32 and obj.ndim == 1):
+        from raytrace_tpu.ops.gather import one_hot, take
+        rows = take(table, one_hot(obj, table.shape[0], dtype))  # (N, 22)
+    else:
+        rows = jnp.take(table, obj, axis=0)             # (N, 22)
 
     t_safe = jnp.where(hit, t_best, 0.0)
     pt = ro + rd.scale(t_safe)

@@ -487,6 +487,19 @@ def _s_p_launch(spec: SceneSpec, aa: int, max_lanes: int, widest: int = 1):
     return s_launch, p_launch
 
 
+def _save_checkpoint(path: str, **arrays) -> None:
+    """Atomic checkpoint write: temp file + ``os.replace`` so a kill
+    mid-write never corrupts the resume state the feature exists to
+    protect (SURVEY.md §5.3-5.4; the reference's analog is its
+    valid-prefix row streaming, main.rs:56-58)."""
+    tmp = path + ".tmp"
+    np.savez(tmp, **arrays)
+    # np.savez appends .npz when the name has no extension
+    if not os.path.exists(tmp) and os.path.exists(tmp + ".npz"):
+        tmp = tmp + ".npz"
+    os.replace(tmp, path)
+
+
 def _image_loop(scene: Scene, launch, *, seed: int, spp: int | None,
                 max_lanes: int, progress, checkpoint: str | None,
                 launch_chunks=None, chunk_group: int = 32) -> np.ndarray:
@@ -547,8 +560,8 @@ def _image_loop(scene: Scene, launch, *, seed: int, spp: int | None,
             if progress is not None:
                 progress(s0, aa, h * w, h * w)
             if checkpoint is not None:
-                np.savez(checkpoint, image=image, s_done=s0,
-                         width=w, height=h, aa=aa, seed=seed)
+                _save_checkpoint(checkpoint, image=image, s_done=s0,
+                                 width=w, height=h, aa=aa, seed=seed)
         return image.reshape(h, w, 3)
 
     for s0 in range(s_done, aa, s_launch):
@@ -562,8 +575,8 @@ def _image_loop(scene: Scene, launch, *, seed: int, spp: int | None,
             if progress is not None:
                 progress(s0 + len(sids), aa, sl.stop, h * w)
         if checkpoint is not None:
-            np.savez(checkpoint, image=image, s_done=s0 + len(sids),
-                     width=w, height=h, aa=aa, seed=seed)
+            _save_checkpoint(checkpoint, image=image, s_done=s0 + len(sids),
+                             width=w, height=h, aa=aa, seed=seed)
     return image.reshape(h, w, 3)
 
 

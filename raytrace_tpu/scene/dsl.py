@@ -428,13 +428,12 @@ class _Parser:
                                    self._row, self._col)
         return got
 
-    def boxed(self, classes: dict[str, Callable[[], object]], what: str):
+    def boxed(self, classes: dict[str, Callable[[], object]]):
         t = self.expect("Identifier")
         cls = t.value
         if cls not in classes:
             raise SceneSyntaxError(f"no such class: {cls}", self._row, self._col)
         return classes[cls]()
-        del what
 
     def vec(self, parser: Callable[[], object]) -> list:
         self.expect("LBracket")
@@ -453,7 +452,7 @@ class _Parser:
         return PlaneAst(point=f["point"], normal=f["normal"])
 
     def shape(self):
-        return self.boxed({"Sphere": self.sphere, "Plane": self.plane}, "shape")
+        return self.boxed({"Sphere": self.sphere, "Plane": self.plane})
 
     def material(self) -> MaterialAst:
         def phong():
@@ -481,7 +480,7 @@ class _Parser:
         return self.boxed({"PhongMaterial": phong,
                            "IndirectPhongMaterial": indirect,
                            "FresnelMaterial": fresnel,
-                           "TransparentMaterial": transparent}, "material")
+                           "TransparentMaterial": transparent})
 
     def object(self) -> ObjectAst:
         f = self.struct_body({"bounds": self.shape, "material": self.material})
@@ -504,7 +503,7 @@ class _Parser:
         def model():
             return self.boxed({"PointLight": point,
                                "DirectionalLight": directional,
-                               "AreaLight": area}, "light model")
+                               "AreaLight": area})
 
         f = self.struct_body({"model": model, "color": self.color})
         kind, mf = f["model"]
@@ -565,7 +564,7 @@ class _Parser:
                                        samples=samples)
 
         return self.boxed({"SimplePerspectiveCamera": self._spc_call,
-                           "DepthOfFieldCamera": dof}, "camera")
+                           "DepthOfFieldCamera": dof})
 
     def background(self) -> BackgroundAst:
         def solid():
@@ -587,7 +586,7 @@ class _Parser:
                                              ("px", "nx", "py", "ny", "pz", "nz")))
 
         return self.boxed({"SolidColorBackground": solid,
-                           "SkyboxBackground": skybox}, "background")
+                           "SkyboxBackground": skybox})
 
     def options(self) -> OptionsAst:
         f = self.struct_body({"width": self.u32, "height": self.u32,

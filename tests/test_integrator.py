@@ -219,3 +219,34 @@ def test_f32_close_to_f64_oracle():
                                            [0, 1], 3)
             np.testing.assert_allclose(img32[py, px], want, atol=2e-3,
                                        rtol=2e-3, err_msg=f"({px},{py})")
+
+
+def test_checkpoint_write_is_atomic(tmp_path, monkeypatch):
+    """A kill mid-write must leave the previous resume file valid: the
+    writer goes through a temp file + os.replace (VERDICT r2 #8)."""
+    from raytrace_tpu.render import integrator
+
+    ck = str(tmp_path / "state.npz")
+    img = np.arange(12, dtype=np.float64).reshape(4, 3)
+    integrator._save_checkpoint(ck, image=img, s_done=7)
+    before = np.load(ck)
+    np.testing.assert_array_equal(before["image"], img)
+    assert int(before["s_done"]) == 7
+
+    real_savez = np.savez
+
+    def dying_savez(path, **arrays):
+        # simulate a kill partway through serialization: some bytes of
+        # the temp file land on disk, then the process "dies"
+        with open(path if isinstance(path, str) else path, "wb") as f:
+            f.write(b"\x00partial")
+        raise KeyboardInterrupt  # stand-in for SIGKILL
+
+    monkeypatch.setattr(np, "savez", dying_savez)
+    with pytest.raises(KeyboardInterrupt):
+        integrator._save_checkpoint(ck, image=img * 2, s_done=9)
+    monkeypatch.setattr(np, "savez", real_savez)
+
+    after = np.load(ck)  # still loadable, still the OLD state
+    np.testing.assert_array_equal(after["image"], img)
+    assert int(after["s_done"]) == 7

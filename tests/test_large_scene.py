@@ -58,3 +58,35 @@ def test_occluded_scan_matches():
     h = _closest_hit_scanned(sc.data, sc.spec, ro, rd)
     want = np.asarray(h.hit) & (np.asarray(h.t) ** 2 < 25.0)
     np.testing.assert_array_equal(np.asarray(blocked), want)
+
+
+def test_one_hot_lookup_bit_exact_f32():
+    """The scanned regime's winning-row lookup uses the one-hot MXU
+    contraction (ops/gather.py) below ONE_HOT_LOOKUP_MAX_OBJECTS; at
+    HIGHEST precision it must be bit-exact vs jnp.take (gather.py
+    docstring — default MXU precision rounds through bf16)."""
+    from raytrace_tpu.ops.gather import one_hot, take
+
+    r = np.random.RandomState(7)
+    table = jnp.asarray(r.rand(200, 22), jnp.float32)
+    idx = jnp.asarray(r.randint(0, 200, 4096), jnp.int32)
+    got = take(table, one_hot(idx, 200, jnp.float32))
+    want = jnp.take(table, idx, axis=0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_scanned_f32_one_hot_path_matches_f64():
+    """f32 scanned closest-hit (one-hot lookup active) agrees with the
+    f64 scan on winning object id and material rows."""
+    sc32 = make_sphere_field(100, dtype=jnp.float32)
+    sc64 = make_sphere_field(100, dtype=jnp.float64)
+    ro, rd = _rays(256, seed=5)
+    ro32 = vec.V3(*(c.astype(jnp.float32) for c in ro))
+    rd32 = vec.V3(*(c.astype(jnp.float32) for c in rd))
+    a = _closest_hit_scanned(sc32.data, sc32.spec, ro32, rd32)
+    b = _closest_hit_scanned(sc64.data, sc64.spec, ro, rd)
+    same = np.asarray(a.obj) == np.asarray(b.obj)
+    assert same.mean() > 0.98  # f32 vs f64 t-ordering may flip rare ties
+    np.testing.assert_allclose(np.asarray(vec.pack(a.diffuse))[same],
+                               np.asarray(vec.pack(b.diffuse))[same],
+                               rtol=1e-6)
