@@ -8,10 +8,15 @@ Measurement methodology: the launch loop runs *inside* jit as a
 ``lax.fori_loop`` whose body input varies per iteration and whose
 output feeds a scalar sum fetched at the end — so every launch really
 executes on device, in order, with no host round-trips.  Throughput is
-the *marginal* cost between a K1-launch and a K2-launch chain, which
-cancels the fixed dispatch + transfer + fetch overhead (timing
-individual async dispatches through a remote-device tunnel is
-unreliable: result caching and lazy queues both inflate numbers).
+the **least-squares slope of median chain time over several chain
+lengths** (k = 4, 16, 64), which cancels the fixed dispatch + transfer
++ fetch overhead (timing individual async dispatches through a remote-
+device tunnel is unreliable: result caching and lazy queues both
+inflate numbers).  A two-point difference (the r2 method) is fragile —
+tens of ms of tunnel-latency drift between the two chain lengths moved
+the reported number by 2.4x (13.97G vs the true 5.9G, VERDICT r2 #1);
+the multi-k fit is robust to that (measured residuals <2% of slope;
+see tools/perf_audit.py and PERF.md "Measurement methodology").
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is measured against the reference's own workload ground
@@ -76,21 +81,23 @@ def main():
 
     # every timed call gets fresh inputs: a remote-device tunnel may
     # serve repeated (executable, args) pairs from cache.  Medians of
-    # interleaved reps make the k2-k1 difference robust to per-call
-    # latency outliers.
-    k1, k2, reps = 4, 20, 5
-    for k in (k1, k2):
+    # interleaved reps + a least-squares fit over chain lengths make
+    # the slope robust to per-call latency outliers and drift.
+    ks, reps = (4, 16, 64), 5
+    for k in ks:
         chain(px, py, k).block_until_ready()   # compile + warm
-    times = {k1: [], k2: []}
+    times = {k: [] for k in ks}
     bias = 0
     for _ in range(reps):
-        for k in (k1, k2):
+        for k in ks:
             bias += 1
             t0 = time.perf_counter()
             float(chain(px + bias, py, k))
             times[k].append(time.perf_counter() - t0)
     med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
-    per_launch = (med(times[k2]) - med(times[k1])) / (k2 - k1)
+    a = np.array([[k, 1.0] for k in ks])
+    y = np.array([med(times[k]) for k in ks])
+    (per_launch, overhead), *_ = np.linalg.lstsq(a, y, rcond=None)
 
     primary = n_pix * n_s * spec.cam_samples
     rays_per_sec = primary * levels / per_launch
@@ -99,6 +106,8 @@ def main():
         "value": round(rays_per_sec),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / REF_CPU_RAYS_PER_SEC, 2),
+        "per_launch_ms": round(float(per_launch) * 1e3, 3),
+        "fixed_overhead_ms": round(float(overhead) * 1e3, 1),
     }))
     return 0
 

@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device lane budget per launch (memory knob)")
     p.add_argument("--shard", action="store_true",
                    help="shard pixels over all visible devices (pjit)")
+    p.add_argument("--shard-objects", action="store_true",
+                   help="ring-shard the scene's objects over all devices "
+                        "(for scenes too large to replicate); implies "
+                        "pixel sharding")
     p.add_argument("--checkpoint", default=None,
                    help="npz path for resumable rendering state")
     p.add_argument("--profile", default=None,
@@ -118,7 +122,13 @@ def main(argv=None) -> int:
         jax.profiler.start_trace(args.profile)
 
     t0 = time.perf_counter()
-    if args.shard:
+    if args.shard_objects:
+        from raytrace_tpu.parallel.ring import render_image_ring
+        img = render_image_ring(scene, seed=args.seed, spp=spp,
+                                max_lanes=args.max_lanes,
+                                progress=progress,
+                                checkpoint=args.checkpoint)
+    elif args.shard:
         from raytrace_tpu.parallel.tile import render_image_sharded
         img = render_image_sharded(scene, seed=args.seed, spp=spp,
                                    max_lanes=args.max_lanes,

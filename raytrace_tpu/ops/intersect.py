@@ -297,23 +297,17 @@ def _scan_hit_dispatch(data: SceneData, spec: SceneSpec, ro: V3, rd: V3):
     return _scan_all_objects(data, spec, ro, rd, dot(rd, rd))
 
 
-def _closest_hit_scanned(data: SceneData, spec: SceneSpec, ro: V3,
-                         rd: V3) -> HitRec:
-    """Large-scene closest hit: scan + one packed-table row gather.
-
-    The winning object's parameters come from a single ``take`` of a
-    packed (O, 20) table — one gather per level instead of per-object
-    selects, the right trade once O is large.
-    """
-    dtype = ro.x.dtype
-    t_best, obj, hit = _scan_hit_dispatch(data, spec, ro, rd)
-
+def packed_object_table(data: SceneData, spec: SceneSpec) -> jnp.ndarray:
+    """The (O, 22) per-object parameter table the scanned regime (and
+    the object-sharded ring render, parallel/ring.py) gathers winning
+    rows from: geometry, material row, and static type flags."""
+    dtype = data.prim_p.dtype
     mts = np.asarray(spec.mat_type, np.int32)
     sts = np.asarray(spec.shape_type, np.int32)
     flags = np.stack([mts == MAT_FRESNEL, mts == MAT_TRANSPARENT,
                       mts == MAT_INDIRECT_PHONG,
                       sts == SHAPE_SPHERE], 1).astype(np.float32)
-    table = jnp.concatenate([
+    return jnp.concatenate([
         data.prim_p, data.prim_q,                       # 0:3, 3:6
         data.mat_diffuse, data.mat_specular,            # 6:9, 9:12
         data.mat_ambient,                               # 12:15
@@ -321,13 +315,11 @@ def _closest_hit_scanned(data: SceneData, spec: SceneSpec, ro: V3,
         data.mat_samples[:, None],                      # 15, 16, 17
         jnp.asarray(flags, dtype),                      # 18:22
     ], axis=1)
-    if (table.shape[0] <= ONE_HOT_LOOKUP_MAX_OBJECTS
-            and jnp.dtype(dtype) == jnp.float32 and obj.ndim == 1):
-        from raytrace_tpu.ops.gather import one_hot, take
-        rows = take(table, one_hot(obj, table.shape[0], dtype))  # (N, 22)
-    else:
-        rows = jnp.take(table, obj, axis=0)             # (N, 22)
 
+
+def hitrec_from_rows(rows, t_best, obj, hit, ro: V3, rd: V3) -> HitRec:
+    """Assemble a HitRec from gathered packed-table rows (N, 22):
+    normal reconstruction, surface snapping, material fields."""
     t_safe = jnp.where(hit, t_best, 0.0)
     pt = ro + rd.scale(t_safe)
     rel = pt - V3(rows[:, 0], rows[:, 1], rows[:, 2])
@@ -353,8 +345,48 @@ def _closest_hit_scanned(data: SceneData, spec: SceneSpec, ro: V3,
         is_indirect=rows[:, 20] > 0.5)
 
 
+def _closest_hit_scanned(data: SceneData, spec: SceneSpec, ro: V3,
+                         rd: V3) -> HitRec:
+    """Large-scene closest hit: scan + one packed-table row gather.
+
+    The winning object's parameters come from a single ``take`` of a
+    packed (O, 22) table — one gather per level instead of per-object
+    selects, the right trade once O is large.
+    """
+    dtype = ro.x.dtype
+    t_best, obj, hit = _scan_hit_dispatch(data, spec, ro, rd)
+    table = packed_object_table(data, spec)
+    if (table.shape[0] <= ONE_HOT_LOOKUP_MAX_OBJECTS
+            and jnp.dtype(dtype) == jnp.float32 and obj.ndim == 1):
+        from raytrace_tpu.ops.gather import one_hot, take
+        rows = take(table, one_hot(obj, table.shape[0], dtype))  # (N, 22)
+    else:
+        rows = jnp.take(table, obj, axis=0)             # (N, 22)
+    return hitrec_from_rows(rows, t_best, obj, hit, ro, rd)
+
+
+# --- object-sharded (ring) dispatch ----------------------------------------
+# Trace-time hook set by parallel.ring's object-sharded render: while a
+# RingContext is active (inside a shard_map body), every closest-hit and
+# shadow query is answered by circulating object shards around the mesh
+# axis with ppermute instead of by the resident scene — the device never
+# holds more than 1/k of the geometry + material tables (SURVEY.md §5.7).
+_RING_CTX = None
+
+
+def set_ring_ctx(ctx):
+    """Install a ring context; returns the previous one (for restore)."""
+    global _RING_CTX
+    prev = _RING_CTX
+    _RING_CTX = ctx
+    return prev
+
+
 def closest_hit(data: SceneData, spec: SceneSpec, ro: V3, rd: V3) -> HitRec:
     """Closest-hit query + material row selection (scene.rs:247-249)."""
+    if _RING_CTX is not None:
+        from raytrace_tpu.parallel import ring
+        return ring.ring_closest_hit(_RING_CTX, ro, rd)
     dtype = ro.x.dtype
     n_like = ro.x
     a = dot(rd, rd)
@@ -448,6 +480,9 @@ def occluded_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
     """Shadow query (raytrace.rs:43-50), component form: is any hit
     inside range?  Equivalent to the reference's closest-hit test but
     min-free (see module docstring)."""
+    if _RING_CTX is not None:
+        from raytrace_tpu.parallel import ring
+        return ring.ring_occluded(_RING_CTX, ro, rd, sq_range, has_range)
     a = dot(rd, rd)
     n_live = sum(1 for t in spec.shape_type if t >= 0)
     if n_live > LARGE_SCENE_THRESHOLD:

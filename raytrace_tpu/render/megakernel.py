@@ -95,9 +95,14 @@ TREE_NODE_BUDGET = int(os.environ.get(
 
 def usable(data: SceneData, spec: SceneSpec) -> bool:
     """Whether this (data, spec) renders through the megakernel."""
+    from raytrace_tpu.ops import intersect
     from raytrace_tpu.render.integrator import tree_nodes
 
     if _env_flag("RAYTRACE_TPU_NO_MEGAKERNEL"):
+        return False
+    if intersect._RING_CTX is not None:
+        # object-sharded ring render: closest-hit needs ppermute over
+        # the mesh axis, which cannot run inside the fused kernel
         return False
     interpret = _env_flag("RAYTRACE_TPU_MEGAKERNEL_INTERPRET")
     if not interpret and jax.default_backend() != "tpu":
