@@ -94,7 +94,7 @@ def _compact_children(b: int, m: int, live, ro, rd, sig, tp, k1, k2):
 
 
 def radiance_linear_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
-                      k1, k2, significance=None) -> V3:
+                      k1, k2, significance=None, miss_records=None) -> V3:
     """Radiance chain for scenes whose wavefront never fans out
     (``spec.children_per_ray <= 1`` — e.g. the golden scene's single
     indirect slot, or pure mirror-Phong scenes).
@@ -104,6 +104,16 @@ def radiance_linear_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
     which is what lets the Pallas megakernel
     (:mod:`raytrace_tpu.render.megakernel`) run the exact same code on
     2D ``(rows, 128)`` register blocks inside VMEM.
+
+    ``miss_records``: when a list is passed, background shading is
+    DEFERRED — miss lanes contribute 0 here and one
+    ``(miss_mask, rd, tp)`` tuple is appended per level.  The megakernel
+    uses this for skybox scenes: the bilinear texture gather cannot run
+    on VMEM blocks inside the kernel (faces exceed VMEM; Mosaic has no
+    per-lane gather), so the kernel emits the per-level miss events and
+    a fused jnp post-pass adds ``tp * skybox(rd)``.  Exact: a lane's
+    per-level contributions are hit-XOR-miss, so deferring the miss
+    terms changes only the order of exact +0 additions.
     """
     dtype = ro.x.dtype
     sig = (jnp.ones_like(ro.x) if significance is None
@@ -117,8 +127,14 @@ def radiance_linear_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
         emit, children = shade(data, spec, ro, rd, hit, sig, live, k1, k2,
                                depth)
         assert len(children) <= 1, "use radiance_v for fan-out scenes"
-        bg = background_color_v(data, spec, rd)
-        local = vec.where(hit.hit, emit, bg)
+        if miss_records is None:
+            bg = background_color_v(data, spec, rd)
+            local = vec.where(hit.hit, emit, bg)
+        else:
+            miss = live & ~hit.hit
+            miss_records.append((miss, rd, vec.where(miss, tp,
+                                                     vec.full_like(sig, 0.0))))
+            local = vec.where(hit.hit, emit, vec.full_like(sig, 0.0))
         contrib = vec.where(live, tp.mul(local), vec.full_like(sig, 0.0))
         acc = acc + contrib
 
@@ -250,6 +266,166 @@ def tree_nodes(spec: SceneSpec) -> int:
         total += w
         w *= m
     return total
+
+
+def _dfs_schedule(m: int, levels: int):
+    """Static preorder schedule of the uniform m-ary virtual-child tree:
+    (per-visit depth list, peak stack occupancy).  The tree SHAPE is
+    lane-independent (liveness is masked, never structural), so the
+    stack pointer and each visit's depth are compile-time constants —
+    which is what lets :func:`radiance_tree_loop_v` run the whole DFS as
+    one traced loop body."""
+    depths = []
+
+    def walk(d):
+        depths.append(d)
+        if d + 1 < levels:
+            for _ in range(m):
+                walk(d + 1)
+
+    walk(0)
+    sp, cap = 1, 1
+    for d in depths:
+        sp -= 1
+        if d + 1 < levels:
+            sp += m
+            cap = max(cap, sp)
+    return depths, cap
+
+
+def tree_loop_stack(spec: SceneSpec):
+    """(m, levels, node count, stack capacity) of the DFS loop."""
+    m = max(min(spec.max_live_children, spec.children_per_ray), 1)
+    levels = spec.max_depth + 2
+    depths, cap = _dfs_schedule(m, levels)
+    return m, levels, len(depths), cap
+
+
+def radiance_tree_loop_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
+                         k1, k2, significance=None,
+                         depth_lookup=None) -> V3:
+    """Radiance for fan-out scenes as a stack-based DFS *loop* — the
+    O(1)-code-size counterpart of :func:`radiance_tree_v`.
+
+    The static DFS inlines one closest-hit + shade round per tree node,
+    so its program size grows linearly with ``tree_nodes(spec)`` — a
+    4-sample IndirectPhong scene at depth 4 is 1365 nodes, far past any
+    reasonable compile budget.  Here the SAME per-node body (closest-hit
+    → shade → route to m virtual children, exactly
+    :func:`radiance_tree_v`'s) runs once inside a ``lax.fori_loop`` over
+    the precomputed preorder schedule; pending siblings live on an
+    explicit stack of lane blocks carried through the loop.  Because the
+    tree is uniform and static, the per-visit depth and the stack
+    pointer are schedule constants — ``shade`` takes the depth as a
+    traced scalar and applies the depth cutoff (raytrace.rs:33)
+    dynamically, and pushes are a ``lax.cond`` on interior visits.
+
+    Work per lane is identical to :func:`radiance_tree_v` (same node
+    set, same RNG stream identities via :func:`_route_children`); only
+    the accumulation order differs (one running preorder sum instead of
+    recursive subtree sums), so results agree to roundoff — except that
+    a 1-ulp f32 difference (different XLA fusion boundaries) can flip a
+    measure-zero discrete branch (hemisphere sign, shadow, grazing hit)
+    on rare lanes, which in an MC estimator is just a different sample
+    (measured: 2/512 lanes, mean radiance agreeing to 3e-5; f64 agrees
+    to 8e-15 everywhere).
+
+    ``depth_lookup`` maps the traced visit index to the node's depth;
+    the default closes over the schedule as a jnp constant, while the
+    Pallas megakernel supplies an SMEM-ref reader (captured array
+    constants are not allowed in kernels).
+    """
+    dtype = ro.x.dtype
+    lane_shape = ro.x.shape
+    m, levels, n_nodes, cap = tree_loop_stack(spec)
+    if depth_lookup is None:
+        depths, _ = _dfs_schedule(m, levels)
+        depth_c = jnp.asarray(np.asarray(depths, np.int32)[:, None])
+        depth_lookup = lambda i: depth_c[i, 0]  # noqa: E731
+
+    sig0 = (jnp.ones_like(ro.x) if significance is None
+            else jnp.broadcast_to(significance, lane_shape).astype(dtype))
+    one = jnp.ones(lane_shape, dtype)
+    zero = jnp.zeros(lane_shape, dtype)
+
+    def st0(x):
+        s = jnp.zeros((cap,) + lane_shape, x.dtype)
+        return jax.lax.dynamic_update_index_in_dim(s, x, 0, 0)
+
+    stack = tuple(st0(v) for v in tree_loop_entry(
+        ro, rd, sig0, V3(one, one, one), one, k1, k2, dtype))
+    acc = vec.full_like(zero, 0.0)
+
+    def body(i, carry):
+        acc, sp, st = carry
+        sp = sp - 1
+        pop = [jax.lax.dynamic_index_in_dim(s, sp, 0, keepdims=False)
+               for s in st]
+        depth = depth_lookup(i)
+        contrib, virt = tree_loop_node(data, spec, m, pop, depth)
+        acc2 = acc + contrib
+
+        def push(st):
+            # child j lands at sp + (m-1-j): popped in preorder
+            for j, entry in enumerate(virt):
+                idx = sp + (m - 1 - j)
+                st = tuple(
+                    jax.lax.dynamic_update_index_in_dim(s, v, idx, 0)
+                    for s, v in zip(st, entry))
+            return st, sp + m
+
+        interior = depth < levels - 1
+        st, sp = jax.lax.cond(interior, push, lambda st: (st, sp), st)
+        return acc2, sp, st
+
+    acc, _, _ = jax.lax.fori_loop(0, n_nodes, body,
+                                  (acc, jnp.int32(1), stack))
+    return acc
+
+
+def tree_loop_entry(ro: V3, rd: V3, sig, tp: V3, live01, k1, k2, dtype):
+    """Pack one DFS stack entry as the 13-component tuple shared by the
+    jnp carry driver and the megakernel's scratch-ref driver: rox..z,
+    rdx..z, sig, tpx..z, live (0/1 in compute dtype), k1, k2."""
+    return (ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, sig, tp.x, tp.y, tp.z,
+            live01.astype(dtype),
+            k1.astype(jnp.uint32), k2.astype(jnp.uint32))
+
+
+def tree_loop_node(data: SceneData, spec: SceneSpec, m: int, entry,
+                   depth):
+    """One DFS node visit — the shared body of the two tree-loop
+    drivers.  ``entry`` is a popped 13-tuple (:func:`tree_loop_entry`);
+    ``depth`` is a traced scalar.  Returns ``(contrib: V3, virt)`` where
+    ``virt`` is a list of m packed child entries (dead children carry
+    live = 0 and zero throughput)."""
+    dtype = entry[0].dtype
+    ro = V3(entry[0], entry[1], entry[2])
+    rd = V3(entry[3], entry[4], entry[5])
+    sig = entry[6]
+    tp = V3(entry[7], entry[8], entry[9])
+    live = entry[10] > 0.5
+    k1, k2 = entry[11], entry[12]
+
+    hit = closest_hit(data, spec, ro, rd)
+    emit, children = shade(data, spec, ro, rd, hit, sig, live, k1, k2,
+                           depth)
+    bg = background_color_v(data, spec, rd)
+    local = vec.where(hit.hit, emit, bg)
+    contrib = vec.where(live, tp.mul(local), vec.full_like(sig, 0.0))
+
+    if len(children) > m:
+        virt = _route_children(children, m, tp, k1, k2)
+    else:
+        virt = [(c.ro, c.rd, c.sig, tp.mul(c.weight), c.live)
+                + rng.derive(k1, k2, c.slot) for c in children]
+    packed = []
+    for cro, crd, csig, ctp, clive, ck1, ck2 in virt:
+        ctp = vec.where(clive, ctp, vec.full_like(csig, 0.0))
+        packed.append(tree_loop_entry(
+            cro, crd, csig, ctp, jnp.where(clive, 1.0, 0.0).astype(dtype),
+            ck1, ck2, dtype))
+    return contrib, packed
 
 
 def radiance_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3, k1, k2,

@@ -83,14 +83,28 @@ def _env_flag(name: str) -> bool:
     return os.environ.get(name, "") not in ("", "0")
 
 
-# fan-out scenes run as a DFS over the virtual child tree
-# (integrator.radiance_tree_v); each tree node is one inlined closest-hit
-# + shade round, so the kernel body grows linearly with the node count.
-# 63 = a 2-live-children scene at depth 4 (transparent reflect+refract,
-# 2-sample indirect).  Beyond the budget the jnp wavefront (which
-# compacts on the lane axis) takes over.
+# fan-out scenes run as a DFS over the virtual child tree.  Small trees
+# are statically inlined (integrator.radiance_tree_v: each node is one
+# inlined closest-hit + shade round, program size O(nodes)); 63 = a
+# 2-live-children scene at depth 4 (transparent reflect+refract,
+# 2-sample indirect).  Larger trees run the stack-DFS *loop*
+# (integrator.radiance_tree_loop_v: one traced node body, pending
+# siblings on an explicit VMEM stack of lane blocks) whose program size
+# is O(1) in the node count — a 4-sample IndirectPhong scene at depth 4
+# (1365 nodes) compiles and runs fused.  The loop regime is bounded
+# only by its stack footprint in VMEM (see usable()).
 TREE_NODE_BUDGET = int(os.environ.get(
     "RAYTRACE_TPU_MEGAKERNEL_TREE_NODES", "63"))
+# stack-DFS VMEM budget: cap * 13 components * rows * 128 lanes * 4 B
+# must leave room for the shade live set in 16 MB of VMEM
+TREE_LOOP_VMEM_BUDGET = int(os.environ.get(
+    "RAYTRACE_TPU_MEGAKERNEL_LOOP_VMEM", str(6 * 1024 * 1024)))
+
+
+def _tree_loop_stack_bytes(spec: SceneSpec) -> int:
+    from raytrace_tpu.render.integrator import tree_loop_stack
+    _, _, _, cap = tree_loop_stack(spec)
+    return cap * 13 * TREE_BLOCK_ROWS * LANE * 4
 
 
 def usable(data: SceneData, spec: SceneSpec) -> bool:
@@ -108,9 +122,14 @@ def usable(data: SceneData, spec: SceneSpec) -> bool:
     if not interpret and jax.default_backend() != "tpu":
         return False
     n_live = sum(1 for t in spec.shape_type if t >= 0)
+    # skybox runs fused for linear (fan-out <= 1) scenes via the
+    # deferred-miss post-pass; skybox + fan-out falls back to the jnp
+    # wavefront (per-node miss records would not fit the output budget)
+    bg_ok = (spec.bg_type == BG_SOLID or spec.children_per_ray <= 1)
     return ((spec.children_per_ray <= 1
-             or tree_nodes(spec) <= TREE_NODE_BUDGET)
-            and spec.bg_type == BG_SOLID
+             or tree_nodes(spec) <= TREE_NODE_BUDGET
+             or _tree_loop_stack_bytes(spec) <= TREE_LOOP_VMEM_BUDGET)
+            and bg_ok
             and n_live <= LARGE_SCENE_THRESHOLD
             and jnp.dtype(data.prim_p.dtype) == jnp.float32)
 
@@ -178,24 +197,118 @@ def _unpack_params(params_ref, shapes, dtype):
 
 def _radiance_fn(spec: SceneSpec):
     """The shape-agnostic radiance chain for this scene: the linear
-    level loop for fan-out <= 1, the DFS tree walk otherwise."""
+    level loop for fan-out <= 1; small fan-out trees statically inlined
+    (radiance_tree_v); big trees as the stack-DFS loop
+    (radiance_tree_loop_v, O(1) program size)."""
     from raytrace_tpu.render.integrator import (radiance_linear_v,
-                                                radiance_tree_v)
-    return (radiance_linear_v if spec.children_per_ray <= 1
-            else radiance_tree_v)
+                                                radiance_tree_loop_v,
+                                                radiance_tree_v,
+                                                tree_nodes)
+    if spec.children_per_ray <= 1:
+        return radiance_linear_v
+    if tree_nodes(spec) <= TREE_NODE_BUDGET:
+        return radiance_tree_v
+    return radiance_tree_loop_v
 
 
-def _kernel(params_ref, pix_ref, piy_ref, aa_ref, cam_ref,
-            out_x, out_y, out_z, *, spec: SceneSpec, seed: int, shapes):
-    from raytrace_tpu.render.integrator import primary_rays
+def _kernel(params_ref, sched_ref, pix_ref, piy_ref, aa_ref, cam_ref,
+            *outs, spec: SceneSpec, seed: int, shapes):
+    from raytrace_tpu.render.integrator import (primary_rays,
+                                                radiance_linear_v,
+                                                radiance_tree_loop_v)
 
+    out_x, out_y, out_z = outs[:3]
     data = _unpack_params(params_ref, shapes, jnp.float32)
     ro, rd, k1, k2 = primary_rays(data, spec, pix_ref[...], piy_ref[...],
                                   aa_ref[...], cam_ref[...], seed)
-    rad = _radiance_fn(spec)(data, spec, ro, rd, k1, k2)
-    out_x[...] = rad.x
-    out_y[...] = rad.y
-    out_z[...] = rad.z
+    fn = _radiance_fn(spec)
+    if spec.bg_type != BG_SOLID:
+        # skybox: the per-lane bilinear gather cannot run on VMEM blocks
+        # (faces exceed VMEM; no per-lane gather in Mosaic), so the
+        # kernel defers background shading — miss events stream out and
+        # a fused jnp post-pass (radiance_lanes) adds tp * skybox(rd)
+        recs: list = []
+        rad = radiance_linear_v(data, spec, ro, rd, k1, k2,
+                                miss_records=recs)
+        for li, (miss, mrd, mtp) in enumerate(recs):
+            o = outs[3 + 7 * li: 3 + 7 * (li + 1)]
+            o[0][...] = jnp.where(miss, 1.0, 0.0).astype(jnp.float32)
+            o[1][...], o[2][...], o[3][...] = mrd.x, mrd.y, mrd.z
+            o[4][...], o[5][...], o[6][...] = mtp.x, mtp.y, mtp.z
+        out_x[...] = rad.x
+        out_y[...] = rad.y
+        out_z[...] = rad.z
+    elif fn is radiance_tree_loop_v:
+        _tree_loop_scratch(data, spec, ro, rd, k1, k2, sched_ref,
+                           out_x, out_y, out_z)
+    else:
+        rad = fn(data, spec, ro, rd, k1, k2)
+        out_x[...] = rad.x
+        out_y[...] = rad.y
+        out_z[...] = rad.z
+
+
+def _tree_loop_scratch(data, spec, ro, rd, k1, k2, sched_ref,
+                       out_x, out_y, out_z):
+    """The stack-DFS tree loop with the stack in mutable VMEM scratch —
+    the Mosaic-lowering twin of ``integrator.radiance_tree_loop_v``
+    (whose functional carry form needs ``dynamic_update_slice`` on
+    values, unimplemented in Mosaic).  Same node body
+    (``integrator.tree_loop_node``), same visit order, same RNG stream
+    identities; only the stack plumbing differs: pops/pushes are
+    dynamic-indexed ref reads/writes, pushes run under ``pl.when``, and
+    the radiance accumulator is scratch too.  The DFS schedule rides
+    SMEM (kernels cannot capture array constants); one scalar read per
+    node visit."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from raytrace_tpu.render.integrator import (tree_loop_entry,
+                                                tree_loop_node,
+                                                tree_loop_stack)
+
+    dtype = ro.x.dtype
+    lane_shape = ro.x.shape
+    m, levels, n_nodes, cap = tree_loop_stack(spec)
+
+    def run(acc_ref, *stack_refs):
+        one = jnp.ones(lane_shape, dtype)
+        root = tree_loop_entry(ro, rd, one, V3(one, one, one), one,
+                               k1, k2, dtype)
+        for s, v in zip(stack_refs, root):
+            s[0] = v
+        acc_ref[...] = jnp.zeros((3,) + lane_shape, dtype)
+
+        def body(i, sp):
+            sp = sp - 1
+            entry = tuple(s[sp] for s in stack_refs)
+            depth = sched_ref[0, i]
+            contrib, virt = tree_loop_node(data, spec, m, entry, depth)
+            acc_ref[0] += contrib.x
+            acc_ref[1] += contrib.y
+            acc_ref[2] += contrib.z
+            interior = depth < levels - 1
+
+            @pl.when(interior)
+            def _():
+                # child j lands at sp + (m-1-j): popped in preorder
+                for j, centry in enumerate(virt):
+                    idx = sp + (m - 1 - j)
+                    for s, v in zip(stack_refs, centry):
+                        s[idx] = v
+
+            return jnp.where(interior, sp + m, sp)
+
+        jax.lax.fori_loop(0, n_nodes, body, jnp.int32(1))
+        out_x[...] = acc_ref[0]
+        out_y[...] = acc_ref[1]
+        out_z[...] = acc_ref[2]
+
+    entry_dtypes = (dtype,) * 11 + (jnp.uint32, jnp.uint32)
+    pl.run_scoped(
+        run,
+        pltpu.VMEM((3,) + lane_shape, dtype),
+        *(pltpu.VMEM((cap,) + lane_shape, dt) for dt in entry_dtypes))
 
 
 def radiance_lanes(data: SceneData, spec: SceneSpec, pix, piy, aa, cam,
@@ -269,6 +382,18 @@ def _radiance_lanes_fwd_kernel(data: SceneData, spec: SceneSpec, pix, piy,
     shapes = _leaf_shapes(data)
     grid = (rows_pad // block_rows,)
 
+    # DFS schedule for the stack-loop regime ((1, 1) dummy otherwise —
+    # the kernel signature stays uniform)
+    from raytrace_tpu.render.integrator import (_dfs_schedule,
+                                                radiance_tree_loop_v,
+                                                tree_loop_stack)
+    if _radiance_fn(spec) is radiance_tree_loop_v:
+        m, levels, _, _ = tree_loop_stack(spec)
+        depths, _ = _dfs_schedule(m, levels)
+        sched = jnp.asarray(np.asarray(depths, np.int32)[None, :])
+    else:
+        sched = jnp.zeros((1, 1), jnp.int32)
+
     lane_spec = pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     # inside shard_map the output varies over the same mesh axes as the
@@ -284,18 +409,40 @@ def _radiance_lanes_fwd_kernel(data: SceneData, spec: SceneSpec, pix, piy,
     except TypeError:  # older/newer field sets
         compiler_params = None
 
+    # skybox scenes stream (miss, rd, tp) per level out of the kernel
+    n_rec = (spec.max_depth + 2) if spec.bg_type != BG_SOLID else 0
+    n_out = 3 + 7 * n_rec
+
     fn = pl.pallas_call(
         partial(_kernel, spec=spec, seed=seed, shapes=shapes),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, params.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, sched.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             lane_spec, lane_spec, lane_spec, lane_spec,
         ],
-        out_specs=(lane_spec, lane_spec, lane_spec),
-        out_shape=(out_shape, out_shape, out_shape),
+        out_specs=(lane_spec,) * n_out,
+        out_shape=(out_shape,) * n_out,
         interpret=_env_flag("RAYTRACE_TPU_MEGAKERNEL_INTERPRET"),
         **({"compiler_params": compiler_params} if compiler_params else {}),
     )
-    ox, oy, oz = fn(params, block(pix), block(piy), block(aa), block(cam))
-    return V3(ox.reshape(-1)[:n], oy.reshape(-1)[:n], oz.reshape(-1)[:n])
+    ox, oy, oz, *rec = fn(params, sched, block(pix), block(piy), block(aa),
+                          block(cam))
+    unb = lambda a: a.reshape(-1)[:n]  # noqa: E731
+    rad = V3(unb(ox), unb(oy), unb(oz))
+    if n_rec:
+        # deferred background: fused jnp post-pass over the miss events
+        # (the only stage with a texture gather; same jit region as the
+        # kernel launch, so XLA fuses the masked adds)
+        from raytrace_tpu.models.backgrounds import background_color_v
+        for li in range(n_rec):
+            miss, rdx, rdy, rdz, tpx, tpy, tpz = (
+                unb(a) for a in rec[7 * li: 7 * (li + 1)])
+            bg = background_color_v(data, spec, V3(rdx, rdy, rdz))
+            m = miss > 0.5
+            rad = V3(rad.x + jnp.where(m, tpx * bg.x, 0.0),
+                     rad.y + jnp.where(m, tpy * bg.y, 0.0),
+                     rad.z + jnp.where(m, tpz * bg.z, 0.0))
+    return rad

@@ -28,8 +28,9 @@ jax.config.update("jax_enable_x64", True)  # f64 available for parity tests
 # across runs (keyed on jaxpr, so source edits invalidate precisely)
 from raytrace_tpu.utils.cache import enable_compile_cache  # noqa: E402
 
-enable_compile_cache(os.path.join(os.path.dirname(__file__), "..",
-                                  ".jax_cache_cpu"))
+enable_compile_cache(os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")))
 
 assert jax.default_backend() == "cpu", (
     "tests must run on the virtual CPU mesh, got " + jax.default_backend())

@@ -152,3 +152,83 @@ def test_padding_boundary(interpret_env):
     close = np.isclose(np.asarray(got.x), np.asarray(want.x),
                        rtol=1e-5, atol=1e-6)
     assert close.mean() > 0.95, f"only {close.mean():.3f} lanes match"
+
+
+def test_skybox_deferred_parity(interpret_env):
+    """Skybox scenes run fused (VERDICT r2 #4): the kernel streams
+    per-level miss events and the post-pass adds tp * skybox(rd);
+    parity vs the inline jnp path."""
+    import dataclasses
+
+    from raytrace_tpu.scene import dsl
+    from raytrace_tpu.scene.builder import build_scene
+    from raytrace_tpu.scene.schema import BG_SKYBOX
+
+    sc = build_scene(dsl.parse(MIRROR_SCENE), dtype=jnp.float32)
+    rng = np.random.RandomState(3)
+    sizes = ((3, 5), (4, 4), (2, 2), (4, 3), (3, 3), (5, 5))
+    hmax = max(s[0] for s in sizes)
+    wmax = max(s[1] for s in sizes)
+    cube = np.zeros((6, hmax, wmax, 3), np.float32)
+    for i, (h, w) in enumerate(sizes):
+        cube[i, :h, :w] = rng.rand(h, w, 3)
+    sc = dataclasses.replace(
+        sc,
+        data=dataclasses.replace(sc.data, bg_cube=jnp.asarray(cube)),
+        spec=dataclasses.replace(sc.spec, bg_type=BG_SKYBOX,
+                                 face_sizes=sizes))
+    spec = sc.spec
+    assert spec.children_per_ray == 1
+    assert megakernel.usable(sc.data, spec)  # skybox no longer a gate
+    pix, piy, aas, cam = _lanes(500, spec.width, spec.height, aa=2)
+
+    got = megakernel.radiance_lanes(sc.data, spec, pix, piy, aas, cam, 9)
+    ro, rd, k1, k2 = primary_rays(sc.data, spec, pix, piy, aas, cam, 9)
+    want = radiance_linear_v(sc.data, spec, ro, rd, k1, k2)
+    for g, w in zip(got, want):
+        g, w = np.asarray(g), np.asarray(w)
+        close = np.isclose(g, w, rtol=1e-5, atol=1e-6)
+        assert close.mean() > 0.97, f"only {close.mean():.3f} lanes match"
+    # background actually contributes (miss lanes nonzero)
+    hitrec_miss = ~np.asarray(
+        __import__("raytrace_tpu.ops.intersect",
+                   fromlist=["closest_hit"]).closest_hit(
+            sc.data, spec, ro, rd).hit)
+    assert hitrec_miss.any()
+    assert np.asarray(got.x)[hitrec_miss].max() > 0
+
+
+def test_tree_loop_fanout_parity(interpret_env):
+    """4-sample IndirectPhong at depth 2 (85 nodes — past the static
+    tree budget of 63): the stack-DFS loop runs fused and matches the
+    jnp wavefront statistically (f32 fusion differences can flip
+    measure-zero discrete branches on rare lanes)."""
+    import dataclasses
+
+    from raytrace_tpu.render.integrator import radiance_v, tree_nodes
+    from raytrace_tpu.scene import dsl
+    from raytrace_tpu.scene.builder import build_scene
+
+    src = MIRROR_SCENE.replace(
+        """material: PhongMaterial { diffuse: rgb(0.8,0.3,0.2)
+        specular: rgb(0.4,0.4,0.4) exponent: 16 ambient: rgb(0,0,0) } }""",
+        """material: IndirectPhongMaterial { diffuse: rgb(0.8,0.3,0.2)
+        specular: rgb(0,0,0) exponent: 1 ambient: rgb(1,1,1)
+        samples: 4 } }""")
+    sc = build_scene(dsl.parse(src), dtype=jnp.float32)
+    sc = dataclasses.replace(
+        sc, spec=dataclasses.replace(sc.spec, max_depth=2))
+    spec = sc.spec
+    assert spec.children_per_ray == 5 and spec.max_live_children == 4
+    assert tree_nodes(spec) == 85 > megakernel.TREE_NODE_BUDGET
+    assert megakernel.usable(sc.data, spec)
+    pix, piy, aas, cam = _lanes(300, spec.width, spec.height, aa=2)
+
+    got = megakernel.radiance_lanes(sc.data, spec, pix, piy, aas, cam, 2)
+    ro, rd, k1, k2 = primary_rays(sc.data, spec, pix, piy, aas, cam, 2)
+    want = radiance_v(sc.data, spec, ro, rd, k1, k2)
+    for g, w in zip(got, want):
+        g, w = np.asarray(g), np.asarray(w)
+        close = np.isclose(g, w, rtol=1e-4, atol=1e-5)
+        assert close.mean() > 0.97, f"only {close.mean():.3f} lanes match"
+        np.testing.assert_allclose(g.mean(), w.mean(), rtol=0.05)

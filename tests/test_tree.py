@@ -9,12 +9,16 @@ floating-point accumulation order differs, so f64 agreement must be at
 roundoff level.
 """
 
+import dataclasses
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
 from raytrace_tpu.render import megakernel
-from raytrace_tpu.render.integrator import (primary_rays, radiance_tree_v,
+from raytrace_tpu.render.integrator import (primary_rays,
+                                            radiance_tree_loop_v,
+                                            radiance_tree_v,
                                             radiance_v, tree_nodes)
 from raytrace_tpu.scene.builder import load_scene_file
 
@@ -33,11 +37,48 @@ def _lanes(spec, n, seed=3):
     return pix, piy, aa, cam
 
 
+def _depth(sc, d):
+    return dataclasses.replace(
+        sc, spec=dataclasses.replace(sc.spec, max_depth=d))
+
+
 @pytest.mark.parametrize("scene_file", [SHOWCASE, CORNELL])
 def test_tree_matches_wavefront_f64(scene_file):
     """DFS tree == lane-compacted wavefront at f64 roundoff, across all
     four materials, three light models, DoF camera, fan-out B=4/m=2
-    (materials_showcase) and the linear golden-style chain (cornell)."""
+    (materials_showcase) and the linear golden-style chain (cornell).
+    Fast tier: depth 2 (15-node trace); the full-depth trace is the
+    @slow variant below."""
+    sc = _depth(load_scene_file(scene_file, dtype=jnp.float64), 2)
+    pix, piy, aa, cam = _lanes(sc.spec, 512)
+    ro, rd, k1, k2 = primary_rays(sc.data, sc.spec, pix, piy, aa, cam, 5)
+    want = radiance_v(sc.data, sc.spec, ro, rd, k1, k2)
+    got = radiance_tree_v(sc.data, sc.spec, ro, rd, k1, k2)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-12, atol=1e-14)
+
+
+@pytest.mark.parametrize("scene_file", [SHOWCASE, CORNELL])
+def test_tree_loop_matches_wavefront_f64(scene_file):
+    """Stack-DFS loop (radiance_tree_loop_v) == wavefront at f64
+    roundoff on the same scenes — the loop's one traced node body
+    reproduces the static walk's child set and RNG identities."""
+    sc = _depth(load_scene_file(scene_file, dtype=jnp.float64), 2)
+    pix, piy, aa, cam = _lanes(sc.spec, 256)
+    ro, rd, k1, k2 = primary_rays(sc.data, sc.spec, pix, piy, aa, cam, 5)
+    want = radiance_v(sc.data, sc.spec, ro, rd, k1, k2)
+    got = radiance_tree_loop_v(sc.data, sc.spec, ro, rd, k1, k2)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-12, atol=1e-13)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("scene_file", [SHOWCASE, CORNELL])
+def test_tree_matches_wavefront_f64_full_depth(scene_file):
+    """Full-depth (max_depth=4, 63-node) variant — minutes of cold XLA
+    compile, so slow-tier only."""
     sc = load_scene_file(scene_file, dtype=jnp.float64)
     pix, piy, aa, cam = _lanes(sc.spec, 512)
     ro, rd, k1, k2 = primary_rays(sc.data, sc.spec, pix, piy, aa, cam, 5)
@@ -58,12 +99,15 @@ def test_tree_nodes_counts():
 
 
 def test_megakernel_fanout_usable(monkeypatch):
-    """The usable() gate admits fan-out scenes within the node budget
-    and rejects them beyond it."""
+    """The usable() gate admits fan-out scenes within the static node
+    budget, hands bigger trees to the stack-DFS loop while its VMEM
+    stack fits, and rejects only scenes past both."""
     monkeypatch.setenv("RAYTRACE_TPU_MEGAKERNEL_INTERPRET", "1")
     sc = load_scene_file(SHOWCASE, dtype=jnp.float32)
     assert megakernel.usable(sc.data, sc.spec)
     monkeypatch.setattr(megakernel, "TREE_NODE_BUDGET", 62)
+    assert megakernel.usable(sc.data, sc.spec)   # loop regime takes over
+    monkeypatch.setattr(megakernel, "TREE_LOOP_VMEM_BUDGET", 1024)
     assert not megakernel.usable(sc.data, sc.spec)
 
 
