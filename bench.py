@@ -18,13 +18,25 @@ the reported number by 2.4x (13.97G vs the true 5.9G, VERDICT r2 #1);
 the multi-k fit is robust to that (measured residuals <2% of slope;
 see tools/perf_audit.py and PERF.md "Measurement methodology").
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is measured against the reference's own workload ground
-truth: the reference publishes no numbers (BASELINE.md), so the anchor
-is REF_CPU_RAYS_PER_SEC, the rust binary's estimated single-thread
-throughput (see BASELINE.md §"de novo"); update it if re-measured.
+Default mode prints ONE JSON line: {"metric", "value", "unit",
+"vs_baseline"}.  ``vs_baseline`` is measured against the reference's
+own workload ground truth: the reference publishes no numbers
+(BASELINE.md), so the anchor is REF_CPU_RAYS_PER_SEC, the rust binary's
+estimated single-thread throughput (see BASELINE.md §"de novo"); update
+it if re-measured.
+
+``--shard`` mode (BASELINE.md item 3, the scaling-efficiency harness):
+weak-scaling comparison on the current mesh — every device runs the
+same per-device launch as the single-device bench, pixels sharded via
+``shard_map``; efficiency = single-device slope / sharded slope (1.0 =
+perfect).  Runs on any mesh: the one real chip (trivially 1 device),
+the 8-virtual-device CPU mesh (``JAX_PLATFORMS=cpu XLA_FLAGS=
+--xla_force_host_platform_device_count=8``, the recorded configuration
+until multi-chip hardware exists), or a real pod slice unchanged.
+Prints one JSON line with per-device throughput and efficiency.
 """
 
+import argparse
 import dataclasses
 import json
 import os
@@ -46,9 +58,50 @@ REFERENCE_DIR = os.environ.get("RAYTRACE_TPU_REFERENCE_DIR",
 # radiance mean cross-checked against this renderer (0.433 vs 0.441).
 REF_CPU_RAYS_PER_SEC = 8.5e6
 
+KS, REPS = (4, 16, 64), 5
 
-def main():
+
+def _measure_slope(chain, px, py, ks=KS, reps=REPS):
+    """LSQ slope (s/launch) + intercept of median chain time over k.
+
+    Every timed call gets fresh inputs: a remote-device tunnel may
+    serve repeated (executable, args) pairs from cache.  Medians of
+    interleaved reps + a least-squares fit over chain lengths make the
+    slope robust to per-call latency outliers and drift.
+    """
+    for k in ks:
+        chain(px, py, k).block_until_ready()   # compile + warm
+    times = {k: [] for k in ks}
+    bias = 0
+    for _ in range(reps):
+        for k in ks:
+            bias += 1
+            t0 = time.perf_counter()
+            float(chain(px + bias, py, k))
+            times[k].append(time.perf_counter() - t0)
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    a = np.array([[k, 1.0] for k in ks])
+    y = np.array([med(times[k]) for k in ks])
+    (per_launch, overhead), *_ = np.linalg.lstsq(a, y, rcond=None)
+    return float(per_launch), float(overhead)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shard", action="store_true",
+                    help="weak-scaling efficiency over the device mesh")
+    ap.add_argument("--lanes", type=int, default=None,
+                    help="lanes per device per launch (default: 2M on "
+                         "TPU, 64k elsewhere)")
+    args = ap.parse_args(argv)
+
     import jax
+    if (os.environ.get("RAYTRACE_TPU_FORCE_CPU")
+            or os.environ.get("JAX_PLATFORMS") == "cpu"):
+        # the environment may pre-register an accelerator plugin that
+        # pins jax_platforms via jax.config (overriding the env var);
+        # force host execution for the virtual-mesh scaling record
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from raytrace_tpu.scene.builder import load_scene_file
     from raytrace_tpu.render.integrator import sample_pixels
@@ -64,50 +117,86 @@ def main():
     levels = spec.max_depth + 2  # intersect rounds per primary sample
 
     # one launch: 2M lanes saturates the chip (smaller launches leave
-    # VPU utilization on the table; measured sweep in PROGRESS notes)
-    n_pix = 1 << 17
+    # VPU utilization on the table; measured sweep in PROGRESS notes).
+    # CPU (the virtual-mesh recording backend) takes a smaller size.
+    on_tpu = jax.default_backend() == "tpu"
     n_s = 16
+    lanes = args.lanes or ((1 << 21) if on_tpu else (1 << 16))
+    n_pix = max(lanes // n_s, 1)
     pix = np.arange(n_pix, dtype=np.uint32)
     px = jnp.asarray(pix % spec.width)
     py = jnp.asarray(pix // spec.width)
     sids = jnp.arange(n_s, dtype=jnp.uint32)
 
-    @partial(jax.jit, static_argnames=("k",))
-    def chain(px, py, k):
+    def chain_body(px, py, k):
         def body(i, acc):
             o = sample_pixels(data, spec, (px + i) % spec.width, py, sids, 0)
             return acc + jnp.sum(o)
-        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+        # carry init derives from px so it inherits px's vma (inside
+        # shard_map a replicated 0.0 would mismatch the varying carry)
+        return jax.lax.fori_loop(0, k, body, (px[0] * 0).astype(jnp.float32))
 
-    # every timed call gets fresh inputs: a remote-device tunnel may
-    # serve repeated (executable, args) pairs from cache.  Medians of
-    # interleaved reps + a least-squares fit over chain lengths make
-    # the slope robust to per-call latency outliers and drift.
-    ks, reps = (4, 16, 64), 5
-    for k in ks:
-        chain(px, py, k).block_until_ready()   # compile + warm
-    times = {k: [] for k in ks}
-    bias = 0
-    for _ in range(reps):
-        for k in ks:
-            bias += 1
-            t0 = time.perf_counter()
-            float(chain(px + bias, py, k))
-            times[k].append(time.perf_counter() - t0)
-    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
-    a = np.array([[k, 1.0] for k in ks])
-    y = np.array([med(times[k]) for k in ks])
-    (per_launch, overhead), *_ = np.linalg.lstsq(a, y, rcond=None)
-
+    chain = jax.jit(chain_body, static_argnames=("k",))
+    per_launch, overhead = _measure_slope(chain, px, py)
     primary = n_pix * n_s * spec.cam_samples
     rays_per_sec = primary * levels / per_launch
+
+    if not args.shard:
+        print(json.dumps({
+            "metric": "rays_per_sec_per_chip_1024sq_depth4",
+            "value": round(rays_per_sec),
+            "unit": "rays/s",
+            "vs_baseline": round(rays_per_sec / REF_CPU_RAYS_PER_SEC, 2),
+            "per_launch_ms": round(per_launch * 1e3, 3),
+            "fixed_overhead_ms": round(overhead * 1e3, 1),
+        }))
+        return 0
+
+    # ---- weak scaling over the mesh -----------------------------------
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from raytrace_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    axes = mesh.axis_names
+
+    pix_g = np.arange(n_pix * n_dev, dtype=np.uint32)
+    pxg = jnp.asarray(pix_g % spec.width)
+    pyg = jnp.asarray((pix_g // spec.width) % spec.height)
+
+    @partial(jax.jit, static_argnames=("k",))
+    def chain_sharded(px, py, k):
+        def local(px, py):
+            s = chain_body(px, py, k)
+            for ax in axes:
+                s = jax.lax.psum(s, ax)
+            return s
+        return shard_map(local, mesh=mesh,
+                         in_specs=(P(axes), P(axes)),
+                         out_specs=P())(px, py)
+
+    slope_sh, overhead_sh = _measure_slope(chain_sharded, pxg, pyg)
+    eff = per_launch / slope_sh
+    total_rays = primary * levels * n_dev / slope_sh
+    # a virtual mesh (forced host device count) timeshares ONE physical
+    # backend, so weak-scaling efficiency is ceilinged at 1/n_dev there;
+    # report the ceiling-relative number too so the virtual record is
+    # interpretable (real multi-chip runs: ceiling = 1.0)
+    virtual = jax.default_backend() != "tpu"
+    ceiling = (1.0 / n_dev) if virtual else 1.0
     print(json.dumps({
-        "metric": "rays_per_sec_per_chip_1024sq_depth4",
-        "value": round(rays_per_sec),
-        "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / REF_CPU_RAYS_PER_SEC, 2),
-        "per_launch_ms": round(float(per_launch) * 1e3, 3),
-        "fixed_overhead_ms": round(float(overhead) * 1e3, 1),
+        "metric": f"scaling_efficiency_weak_{n_dev}dev",
+        "value": round(eff, 4),
+        "unit": "fraction",
+        "vs_baseline": round(eff / ceiling, 4),
+        "efficiency_vs_backend_ceiling": round(eff / ceiling, 4),
+        "n_devices": n_dev,
+        "backend": jax.default_backend(),
+        "rays_per_sec_per_device": round(total_rays / n_dev),
+        "rays_per_sec_total": round(total_rays),
+        "single_device_launch_ms": round(per_launch * 1e3, 3),
+        "sharded_launch_ms": round(slope_sh * 1e3, 3),
     }))
     return 0
 

@@ -26,11 +26,13 @@ import jax.numpy as jnp
 
 from raytrace_tpu.ops.vec import V3
 from raytrace_tpu.scene.schema import BG_SKYBOX, SceneData, SceneSpec
+from raytrace_tpu.utils.profiling import annotate
 
 # face order in SceneData.bg_cube (builder.py): px nx py ny pz nz
 FACE_PX, FACE_NX, FACE_PY, FACE_NY, FACE_PZ, FACE_NZ = range(6)
 
 
+@annotate("background")
 def background_color_v(data: SceneData, spec: SceneSpec, rd: V3) -> V3:
     """Background radiance for miss rays, component layout."""
     if spec.bg_type != BG_SKYBOX:

@@ -61,6 +61,7 @@ from raytrace_tpu.ops import vec
 from raytrace_tpu.ops.intersect import HitRec, occluded_v
 from raytrace_tpu.ops.vec import V3, dot
 from raytrace_tpu.scene.schema import SceneData, SceneSpec
+from raytrace_tpu.utils.profiling import annotate
 
 _OFFSET = 1e-5  # secondary-ray origin offset (raytrace.rs:43,62,108,211,220)
 
@@ -84,6 +85,7 @@ class Child(NamedTuple):
     slot: int              # static slot index (RNG stream derivation)
 
 
+@annotate("shade")
 def shade(data: SceneData, spec: SceneSpec, ro: V3, rd: V3, hit: HitRec,
           sig, live, k1, k2, depth):
     """Shade one wavefront level.
@@ -119,7 +121,12 @@ def shade(data: SceneData, spec: SceneSpec, ro: V3, rd: V3, hit: HitRec,
     n_ratio = jnp.where(nd > 0, ior, 1.0 / ior_safe)
     sin2 = n_ratio * n_ratio * (1.0 - nd * nd)
     refract_ok = (sin2 < 1.0) & (ior != 0)
-    cos_t = jnp.sqrt(_clamp0(jnp.where(refract_ok, 1.0 - sin2, 0.0)))
+    # double-where: sqrt'(0) = inf, so TIR lanes must see a safe inner
+    # argument (1.0), not just a masked output — otherwise the backward
+    # pass forms inf * 0 = NaN (caught by tests/test_nan_audit.py)
+    cos_t = jnp.where(
+        refract_ok,
+        jnp.sqrt(_clamp0(jnp.where(refract_ok, 1.0 - sin2, 1.0))), 0.0)
     # mask n_ratio on TIR lanes so ``refr`` stays finite there — its
     # value is never selected, but an inf/NaN would poison cotangents
     # through the masked branches (the where-NaN gradient trap)

@@ -68,6 +68,7 @@ from raytrace_tpu.ops.vec import V3, dot, pack, splat
 from raytrace_tpu.scene.schema import (
     MAT_FRESNEL, MAT_INDIRECT_PHONG, MAT_TRANSPARENT, SHAPE_PLANE,
     SHAPE_SPHERE, SceneData, SceneSpec)
+from raytrace_tpu.utils.profiling import annotate
 
 
 class HitRec(NamedTuple):
@@ -90,6 +91,16 @@ class HitRec(NamedTuple):
     is_indirect: jnp.ndarray  # bool
 
 
+def safe_inv2a(a):
+    """``0.5 / a``, guarded for zero-direction lanes: dead / TIR child
+    slots carry ``rd = 0`` (live = False, e.g. materials.py's masked
+    refraction direction), and an inf here becomes ``inf * 0 = NaN``
+    in backward-pass cotangents (caught by tests/test_nan_audit.py).
+    ``disc`` keeps the real ``a``, so those lanes still compute
+    ``has = False`` — no phantom hits, just finite masked t values."""
+    return 0.5 / jnp.where(a > 0, a, 1.0)
+
+
 def _object_t(data: SceneData, spec: SceneSpec, i: int, ro: V3, rd: V3,
               a, inv2a=None):
     """t and validity for object ``i`` (static), as (N,) arrays.
@@ -107,7 +118,7 @@ def _object_t(data: SceneData, spec: SceneSpec, i: int, ro: V3, rd: V3,
         has = disc > 0.0
         sq = jnp.sqrt(jnp.where(has, disc, 1.0))   # NaN-safe for grads
         if inv2a is None:
-            inv2a = 0.5 / a
+            inv2a = safe_inv2a(a)
         t1 = (-b - sq) * inv2a
         t2 = (-b + sq) * inv2a
         t = jnp.where(t1 > 0.0, t1, t2)
@@ -218,7 +229,7 @@ def _scan_all_objects(data: SceneData, spec: SceneSpec, ro: V3, rd: V3, a):
             disc = b * b - 4.0 * a * cc
             has = disc > 0.0
             sq = jnp.sqrt(jnp.where(has, disc, 1.0))
-            inv2a = 0.5 / a
+            inv2a = safe_inv2a(a)
             t1 = (-b - sq) * inv2a
             t2 = (-b + sq) * inv2a
             t = jnp.where(t1 > 0.0, t1, t2)
@@ -382,6 +393,7 @@ def set_ring_ctx(ctx):
     return prev
 
 
+@annotate("intersect")
 def closest_hit(data: SceneData, spec: SceneSpec, ro: V3, rd: V3) -> HitRec:
     """Closest-hit query + material row selection (scene.rs:247-249)."""
     if _RING_CTX is not None:
@@ -403,7 +415,7 @@ def closest_hit(data: SceneData, spec: SceneSpec, ro: V3, rd: V3) -> HitRec:
     sel = None  # dict of selected params
 
     has_sphere = any(spec.shape_type[i] == SHAPE_SPHERE for i in live_obj)
-    inv2a = 0.5 / a if has_sphere else None
+    inv2a = safe_inv2a(a) if has_sphere else None
     for i in live_obj:
         t_i, v_i = _object_t(data, spec, i, ro, rd, a, inv2a)
         t_i = jnp.where(v_i, t_i, jnp.inf)
@@ -492,7 +504,7 @@ def occluded_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
         return hit
     blocked = jnp.zeros(ro.x.shape, bool)
     has_sphere = any(t == SHAPE_SPHERE for t in spec.shape_type)
-    inv2a = 0.5 / a if has_sphere else None
+    inv2a = safe_inv2a(a) if has_sphere else None
     for i in range(spec.n_objects):
         if spec.shape_type[i] < 0:
             continue

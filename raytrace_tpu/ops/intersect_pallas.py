@@ -80,7 +80,7 @@ def _kernel(ids_ref, tab_ref, rox, roy, roz, rdx, rdy, rdz,
     ro = V3(rox[...], roy[...], roz[...])
     rd = V3(rdx[...], rdy[...], rdz[...])
     a = rd.x * rd.x + rd.y * rd.y + rd.z * rd.z
-    inv2a = 0.5 / a
+    inv2a = 0.5 / jnp.where(a > 0, a, 1.0)  # zero-rd-safe (intersect.safe_inv2a)
     rows = tab_ref[...]                      # (OBJ_CHUNK, 4) in VMEM
 
     def fold(ts, vs):
@@ -169,7 +169,7 @@ def _jnp_scan_reference(table, ids, n_sph_pad, ro, rd):
         disc = b * b - 4.0 * a * cc
         has = disc > 0.0
         sq = jnp.sqrt(jnp.where(has, disc, 1.0))
-        inv2a = 0.5 / a
+        inv2a = 0.5 / jnp.where(a > 0, a, 1.0)  # zero-rd-safe (intersect.safe_inv2a)
         ts1 = (-b - sq) * inv2a
         ts2 = (-b + sq) * inv2a
         ts = jnp.where(ts1 > 0.0, ts1, ts2)

@@ -66,8 +66,9 @@ def make_sharded_step(spec: SceneSpec, mesh, seed: int):
         # (in_spec P(), vma-invariant), so shard_map's AD already
         # all-reduces its cotangent across the mesh — adding our own
         # psum would double-count (verified in tests/test_parallel.py).
-        for ax in axes:
-            loss = jax.lax.psum(loss, ax)
+        with jax.named_scope("grad_psum"):
+            for ax in axes:
+                loss = jax.lax.psum(loss, ax)
         return loss, grads
 
     fn = shard_map(

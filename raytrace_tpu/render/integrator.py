@@ -42,6 +42,7 @@ from raytrace_tpu.ops import rng, vec
 from raytrace_tpu.ops.intersect import closest_hit
 from raytrace_tpu.ops.vec import V3
 from raytrace_tpu.scene.schema import Scene, SceneData, SceneSpec
+from raytrace_tpu.utils.profiling import annotate
 
 
 def _flatten_slots(parts):
@@ -493,6 +494,7 @@ def radiance(data: SceneData, spec: SceneSpec, ro, rd, k1, k2,
     return vec.pack(out)
 
 
+@annotate("raygen")
 def primary_rays(data: SceneData, spec: SceneSpec, pix, piy, aa, cam,
                  seed: int):
     """Jittered primary rays for per-lane (pixel-x, pixel-y, aa-sample,

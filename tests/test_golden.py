@@ -9,6 +9,7 @@ error budget.
 """
 
 import dataclasses
+import os
 
 import numpy as np
 import jax.numpy as jnp
@@ -71,3 +72,56 @@ def test_golden_statistical_parity():
     (ry, rx), (oy, ox) = bright_centroid(ref_c), bright_centroid(ours)
     assert abs(ry - oy) <= 2.5, (ry, oy)
     assert abs(rx - ox) <= 2.5, (rx, ox)
+
+
+@pytest.mark.slow
+def test_golden_fullres_bytediff():
+    """The repo's flagship acceptance artifact, automated (VERDICT r2
+    #9): render the FULL golden config (800 x 800, 1024 spp by default)
+    and byte-diff the sRGB output against the reference's committed
+    ``out.bmp`` (PERF.md "Golden-image parity" table).
+
+    The reference RNG is time-seeded (main.rs:43) so bitwise equality is
+    impossible; the acceptance criterion is *noise-limited*: the byte
+    distance to the golden image must match the distance between two of
+    our own independent renders (different seeds) — i.e. every remaining
+    byte of difference is Monte-Carlo variance, not bias.
+
+    At the full 1024 spp this takes ~1.5 min of TPU device time and
+    tens of CPU-minutes; ``RAYTRACE_TPU_GOLDEN_SPP`` lowers the sample
+    count (both our renders AND the noise floor scale together, so the
+    noise-limited assertion stays valid at any spp; only the absolute
+    caps below assume >= 256).
+    """
+    spp = int(os.environ.get("RAYTRACE_TPU_GOLDEN_SPP", "1024"))
+    ref = read_bmp(GOLDEN).astype(np.int32)          # (800, 800, 3) sRGB
+
+    sc = build_scene(dsl.parse(REF_SCENE), dtype=jnp.float32)
+    assert (sc.spec.width, sc.spec.height) == (800, 800)
+
+    def render_bytes(seed):
+        img = np.clip(np.asarray(render_image(sc, seed=seed, spp=spp)),
+                      0.0, None)
+        srgb = np.asarray(colorlib.to_srgb(jnp.asarray(
+            img.astype(np.float32))))
+        return srgb.astype(np.int32)
+
+    ours_a = render_bytes(seed=0)
+    ours_b = render_bytes(seed=7)
+
+    d_ref = np.abs(ours_a - ref)
+    d_own = np.abs(ours_a - ours_b)
+
+    # noise-limited: indistinguishable from our own seed-to-seed noise
+    assert d_ref.mean() < d_own.mean() * 1.10, (d_ref.mean(), d_own.mean())
+    assert np.percentile(d_ref, 99) <= np.percentile(d_own, 99) * 1.25
+
+    # absolute caps (PERF.md's measured values +25% headroom at 1024spp)
+    if spp >= 256:
+        scale = (1024 / spp) ** 0.5   # MC noise ~ 1/sqrt(spp)
+        assert d_ref.mean() < 13.5 * scale, d_ref.mean()
+
+    # unbiased: signed regional means vanish on an 8x8 grid (<1.5/255)
+    signed = (ours_a - ref).astype(np.float64)
+    regional = signed.reshape(8, 100, 8, 100, 3).mean((1, 3, 4))
+    assert np.abs(regional).max() < 1.5, np.abs(regional).max()

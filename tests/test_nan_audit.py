@@ -1,0 +1,64 @@
+"""NaN audit under ``jax_debug_nans`` (SURVEY.md §5.2).
+
+The reference has a latent NaN path — the indirect-specular half-vector
+normalizes ``dir - ray.direction`` with the *shadowed* ray, which is 0
+when they coincide (raytrace.rs:108,115) — and no sanitizers to catch
+it.  The TPU-native build keeps that path out by construction
+(models/materials.py guards every normalize/rsqrt/div with where-traps);
+this test turns on JAX's NaN debugger, which re-runs every primitive
+un-jitted and raises on any NaN output, and drives the forward render
+AND the full scene-parameter gradient over scenes covering all four
+materials, all three lights, fan-out, DoF, and skybox.
+
+``jax_debug_nans`` re-executes op-by-op, so this runs on deliberately
+tiny lane counts.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytrace_tpu.render.integrator import sample_pixels
+from raytrace_tpu.scene.builder import load_scene_file
+
+from conftest import reference_path, repo_path
+
+SCENES = [
+    str(reference_path("test_scene.txt")),      # indirect-only golden
+    str(repo_path("examples", "materials_showcase.txt")),  # all materials
+    str(repo_path("examples", "cornell_indirect.txt")),
+]
+
+
+@pytest.fixture
+def debug_nans():
+    jax.config.update("jax_debug_nans", True)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", False)
+
+
+@pytest.mark.parametrize("scene_file", SCENES)
+def test_forward_and_grad_nan_free(debug_nans, scene_file):
+    sc = load_scene_file(scene_file, dtype=jnp.float32)
+    spec = dataclasses.replace(sc.spec, width=8, height=8)
+    px = jnp.arange(8, dtype=jnp.uint32)
+    py = jnp.arange(8, dtype=jnp.uint32) % spec.height
+    sids = jnp.arange(2, dtype=jnp.uint32)
+
+    # forward: jax_debug_nans re-runs each primitive eagerly and raises
+    # FloatingPointError on the first NaN anywhere in the pipeline
+    out = sample_pixels(sc.data, spec, px, py, sids, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # backward: every SceneData leaf's gradient must be NaN-free too
+    def loss(data):
+        return jnp.sum(sample_pixels(data, spec, px, py, sids, 3) ** 2)
+
+    grads = jax.grad(loss)(sc.data)
+    for leaf in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
