@@ -87,13 +87,14 @@ def test_golden_fullres_bytediff():
     our own independent renders (different seeds) — i.e. every remaining
     byte of difference is Monte-Carlo variance, not bias.
 
-    At the full 1024 spp this takes ~1.5 min of TPU device time and
-    tens of CPU-minutes; ``RAYTRACE_TPU_GOLDEN_SPP`` lowers the sample
-    count (both our renders AND the noise floor scale together, so the
-    noise-limited assertion stays valid at any spp; only the absolute
-    caps below assume >= 256).
+    The test suite runs on the pinned CPU backend (conftest.py), where
+    the full 1024 spp would take hours — the suite default is 48 spp
+    (the noise-limited criterion is spp-invariant: both our renders AND
+    the noise floor scale together).  ``RAYTRACE_TPU_GOLDEN_SPP``
+    overrides; the full-1024-spp TPU record is produced by
+    ``tools/golden_check.py`` (same comparisons, real chip, ~3 min).
     """
-    spp = int(os.environ.get("RAYTRACE_TPU_GOLDEN_SPP", "1024"))
+    spp = int(os.environ.get("RAYTRACE_TPU_GOLDEN_SPP", "48"))
     ref = read_bmp(GOLDEN).astype(np.int32)          # (800, 800, 3) sRGB
 
     sc = build_scene(dsl.parse(REF_SCENE), dtype=jnp.float32)

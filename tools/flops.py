@@ -61,13 +61,15 @@ def count_jaxpr(jaxpr, mult=1, ops=None):
         name = eqn.primitive.name
         sub = None
         inner_mult = mult
-        if "jaxpr" in eqn.params:
+        if name == "scan":
+            # must precede the generic "jaxpr" param check: a scan body
+            # executes ``length`` times
+            sub = eqn.params["jaxpr"]
+            inner_mult = mult * eqn.params["length"]
+        elif "jaxpr" in eqn.params:
             sub = eqn.params["jaxpr"]
         elif "call_jaxpr" in eqn.params:
             sub = eqn.params["call_jaxpr"]
-        elif name == "scan":
-            sub = eqn.params["jaxpr"]
-            inner_mult = mult * eqn.params["length"]
         elif name == "while":
             raise ValueError("while_loop trip count unknown; not used "
                              "in the render chain")

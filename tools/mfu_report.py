@@ -71,7 +71,11 @@ def measure(regime: str):
         spec = sc.spec
         n_pix, n_s = 1 << 15, 4       # 63 intersect rounds/lane
     elif regime == "scan":
-        sc = make_sphere_field(4096, dtype=jnp.float32)
+        # mix_materials=False keeps the wavefront linear (6 rounds), so
+        # the measurement isolates the Pallas scan-intersect kernel
+        # instead of compounding it with the fan-out tree walk
+        sc = make_sphere_field(4096, mix_materials=False,
+                               dtype=jnp.float32)
         spec = sc.spec
         n_pix, n_s = 1 << 15, 4
     else:
@@ -131,6 +135,7 @@ def measure(regime: str):
 
     lanes_per_s = lanes / slope
     achieved = ops_lane * lanes_per_s
+    n_live = sum(1 for t in spec.shape_type if t >= 0)
     print(json.dumps({
         "regime": regime,
         "lanes_per_launch": lanes,
@@ -138,6 +143,8 @@ def measure(regime: str):
         "fixed_overhead_ms": round(float(icpt) * 1e3, 1),
         "intersect_rounds_per_lane": rounds,
         "rays_per_sec": round(lanes_per_s * rounds),
+        "ray_obj_tests_per_sec": round(lanes_per_s * rounds * n_live),
+        "n_objects": n_live,
         "ops_per_lane": round(float(ops_lane), 1),
         "achieved_Top_per_s": round(achieved / 1e12, 3),
         "vpu_util_pct": round(100 * achieved / VPU_PEAK, 1),
