@@ -213,9 +213,12 @@ def _scan_all_objects(data: SceneData, spec: SceneSpec, ro: V3, rd: V3, a):
     """Running-min over all objects via lax.scan (large scenes)."""
     n_like = ro.x
     sph, pln = _typed_geometry(data, spec)
-    t_best = jnp.full_like(n_like, jnp.inf)
-    obj = jnp.full(n_like.shape, 2 ** 31 - 1, jnp.int32)
-    hit = jnp.zeros(n_like.shape, bool)
+    # carries derive from the rays so they inherit their vma: inside
+    # shard_map a replicated constant init would mismatch the varying
+    # scan-carry type (caught driving the sharded >64-object render)
+    t_best = n_like * 0 + jnp.inf
+    obj = (n_like * 0).astype(jnp.int32) + np.int32(2 ** 31 - 1)
+    hit = n_like > jnp.inf
 
     if len(sph):
         rows = jnp.concatenate(

@@ -48,7 +48,13 @@ from raytrace_tpu.ops.vec import V3
 
 LANE = 128
 BLOCK_ROWS = int(os.environ.get("RAYTRACE_TPU_INTERSECT_ROWS", "128"))
-_OBJ_CHUNK = 8   # primitives per inner grid step
+# primitives per inner grid step: bigger chunks = fewer grid steps (the
+# per-step fixed cost — block copy handshake + revisited-output fold —
+# dominates tiny chunks), at the price of a longer unrolled fold body.
+# Measured on v5e, 4102-object field, 2M lanes (multi-k slope, r3):
+# coherent beam 72/77/87/83 G tests/s at chunk 8/16/32/64; incoherent
+# 61 -> 77 G at 8 -> 32; full render path 55.5 -> 64.2 G.  32 wins all.
+_OBJ_CHUNK = int(os.environ.get("RAYTRACE_TPU_OBJ_CHUNK", "32"))
 
 
 def _env_flag(name: str) -> bool:
@@ -67,8 +73,8 @@ def usable(dtype) -> bool:
 _ID_SENTINEL = np.int32(2 ** 31 - 1)  # obj value on miss lanes
 
 
-def _kernel(ids_ref, tab_ref, rox, roy, roz, rdx, rdy, rdz,
-            t_out, obj_out, hit_out, *, n_sph_chunks: int):
+def _kernel(ids_ref, bnd_ref, tab_ref, rox, roy, roz, rdx, rdy, rdz,
+            t_out, obj_out, hit_out, *, n_sph_chunks: int, cull: bool):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -100,8 +106,7 @@ def _kernel(ids_ref, tab_ref, rox, roy, roz, rdx, rdy, rdz,
         obj_out[...] = obj
         hit_out[...] = hit
 
-    @pl.when(j < n_sph_chunks)
-    def _():
+    def sphere_fold():
         ts, vs = [], []
         for k in range(_OBJ_CHUNK):
             cx, cy, cz, r = rows[k, 0], rows[k, 1], rows[k, 2], rows[k, 3]
@@ -120,6 +125,37 @@ def _kernel(ids_ref, tab_ref, rox, roy, roz, rdx, rdy, rdz,
             # grazing the origin, which would register a phantom hit.
             vs.append(has & (t > 0.0) & (r > 0.0))
         fold(ts, vs)
+
+    if cull:
+        # chunk culling (the TPU-shaped acceleration structure): every
+        # sphere chunk carries a conservative bounding sphere (built in
+        # _chunk_bounds; table order gives chunks spatial locality).  A
+        # lane MAY be improved by the chunk only if its ray enters the
+        # bound in front of the origin and not beyond its running best
+        # t; if NO lane in the whole block may, the 8-object fold is
+        # skipped.  Output-invariant by construction (any interior
+        # object hit implies a strictly earlier bound entry), asserted
+        # bit-for-bit vs the jnp scan in tests/test_intersect_pallas.
+        @pl.when(j < n_sph_chunks)
+        def _():
+            bx, by, bz = bnd_ref[j, 0], bnd_ref[j, 1], bnd_ref[j, 2]
+            br = bnd_ref[j, 3]
+            ocx, ocy, ocz = ro.x - bx, ro.y - by, ro.z - bz
+            b = 2.0 * (rd.x * ocx + rd.y * ocy + rd.z * ocz)
+            cc = ocx * ocx + ocy * ocy + ocz * ocz - br * br
+            disc = b * b - 4.0 * a * cc
+            pos = disc > 0.0
+            sq = jnp.sqrt(jnp.where(pos, disc, 0.0))
+            enters = pos & ((-b + sq) > 0.0)          # exit in front
+            may = enters & ((-b - sq) * inv2a <= t_out[...])
+
+            @pl.when(jnp.any(may))
+            def _():
+                sphere_fold()
+    else:
+        @pl.when(j < n_sph_chunks)
+        def _():
+            sphere_fold()
 
     @pl.when(j >= n_sph_chunks)
     def _():
@@ -194,6 +230,36 @@ def _jnp_scan_reference(table, ids, n_sph_pad, ro, rd):
     return t, obj, hit
 
 
+def _chunk_bounds(table, n_sph_pad, n_chunks):
+    """Conservative per-chunk bounding spheres (cx, cy, cz, R) for the
+    sphere partition, (n_chunks, 4) f32; plane chunks (unbounded — never
+    culled) and all-pad chunks carry R = 0.
+
+    The bound is the member-center centroid with radius
+    ``max(|c_i - C| + r_i)`` inflated by an f32-safety margin, so any
+    ray that hits a member sphere at t > 0 strictly enters the bound
+    earlier — which is what makes the kernel's chunk skip
+    output-invariant.  Gradients never see this: the backward pass
+    re-traces the (cull-free) jnp scan.
+    """
+    sph = jax.lax.stop_gradient(table[:n_sph_pad]).reshape(
+        -1, _OBJ_CHUNK, 4)
+    valid = sph[..., 3] > 0                                   # (C, 8)
+    cnt = jnp.maximum(valid.sum(axis=1, keepdims=True), 1)
+    ctr = (jnp.where(valid[..., None], sph[..., :3], 0.0).sum(axis=1)
+           / cnt)                                             # (C, 3)
+    dist = jnp.sqrt(jnp.sum((sph[..., :3] - ctr[:, None, :]) ** 2,
+                            axis=-1)) + sph[..., 3]
+    r = jnp.max(jnp.where(valid, dist, 0.0), axis=1)
+    r = jnp.where(r > 0, r * 1.0001 + 1e-4, 0.0)
+    bounds = jnp.concatenate([ctr, r[:, None]], axis=1)       # (C, 4)
+    pad = n_chunks - bounds.shape[0]
+    if pad:
+        bounds = jnp.concatenate(
+            [bounds, jnp.zeros((pad, 4), bounds.dtype)])
+    return bounds.astype(jnp.float32)
+
+
 def _scan_hit_fwd_kernel(table, ids, n_sph_pad, ro, rd):
     n = ro.x.shape[0]
     rows = -(-n // LANE)
@@ -201,6 +267,7 @@ def _scan_hit_fwd_kernel(table, ids, n_sph_pad, ro, rd):
     total = rows_pad * LANE
     n_chunks = table.shape[0] // _OBJ_CHUNK
     assert table.shape[0] % _OBJ_CHUNK == 0
+    cull = not _env_flag("RAYTRACE_TPU_NO_CULL")
 
     def block(arr):
         arr = jnp.concatenate([arr, jnp.zeros(total - n, arr.dtype)])
@@ -221,14 +288,15 @@ def _scan_hit_fwd_kernel(table, ids, n_sph_pad, ro, rd):
         (rows_pad, LANE), dt, vma=vma)
 
     fn = pl.pallas_call(
-        partial(_kernel, n_sph_chunks=n_sph_pad // _OBJ_CHUNK),
+        partial(_kernel, n_sph_chunks=n_sph_pad // _OBJ_CHUNK, cull=cull),
         grid=grid,
-        in_specs=[idt, tab, lane, lane, lane, lane, lane, lane],
+        in_specs=[idt, idt, tab, lane, lane, lane, lane, lane, lane],
         out_specs=(lane, lane, lane),
         out_shape=(shp(ro.x.dtype), shp(jnp.int32), shp(jnp.int32)),
         interpret=_env_flag("RAYTRACE_TPU_MEGAKERNEL_INTERPRET"),
     )
-    t, obj, hit = fn(ids.reshape(n_chunks, _OBJ_CHUNK), table,
+    t, obj, hit = fn(ids.reshape(n_chunks, _OBJ_CHUNK),
+                     _chunk_bounds(table, n_sph_pad, n_chunks), table,
                      block(ro.x), block(ro.y), block(ro.z),
                      block(rd.x), block(rd.y), block(rd.z))
     unb = lambda x: x.reshape(-1)[:n]  # noqa: E731

@@ -77,3 +77,33 @@ def test_closest_hit_dispatch_consistency(interpret_env, monkeypatch):
                  (h1.diffuse.y, h2.diffuse.y)]:
         np.testing.assert_allclose(np.asarray(a)[ok], np.asarray(b)[ok],
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_chunk_cull_output_invariant(interpret_env, monkeypatch):
+    """Chunk culling must be invisible in the outputs: the kernel with
+    bounding-sphere chunk skips enabled (default) returns bit-identical
+    (t, gid, hit) to the cull-free kernel, over a ray mix designed to
+    exercise every cull branch — beams hitting one cluster, rays that
+    miss everything, rays behind the scene, and zero-direction lanes."""
+    sc = make_sphere_field(200, mix_materials=False)
+    table, n_sph_pad, idmap = _packed_tables(sc.data, sc.spec)
+
+    r = np.random.RandomState(7)
+    ro = np.concatenate([
+        np.repeat([[0.0, 4.0, 28.0]], 128, 0),     # front beam
+        np.repeat([[500.0, 500.0, 500.0]], 64, 0),  # far outside
+        np.repeat([[0.0, -5.0, -60.0]], 64, 0),     # behind the box
+    ]) + r.normal(0, 0.3, (256, 3))
+    rd = r.normal(0, 1, (256, 3))
+    rd[200:204] = 0.0                               # dead lanes (rd = 0)
+    ro_v = splat(jnp.asarray(ro, jnp.float32))
+    rd_v = splat(jnp.asarray(rd, jnp.float32))
+
+    t_c, g_c, h_c = ip.scan_hit(table, idmap, n_sph_pad, ro_v, rd_v)
+    monkeypatch.setenv("RAYTRACE_TPU_NO_CULL", "1")
+    t_n, g_n, h_n = ip.scan_hit(table, idmap, n_sph_pad, ro_v, rd_v)
+
+    np.testing.assert_array_equal(np.asarray(h_c), np.asarray(h_n))
+    np.testing.assert_array_equal(np.asarray(g_c), np.asarray(g_n))
+    np.testing.assert_array_equal(np.asarray(t_c), np.asarray(t_n))
+    assert np.asarray(h_c).any() and not np.asarray(h_c).all()

@@ -198,6 +198,40 @@ def test_skybox_deferred_parity(interpret_env):
     assert np.asarray(got.x)[hitrec_miss].max() > 0
 
 
+def test_static_tree_fanout_parity(interpret_env):
+    """Static-DFS tree regime of the kernel (radiance_tree_v traced on
+    VMEM blocks) on a small transparent scene at depth 2 — the cheap
+    fast-tier twin of test_tree.py::test_megakernel_fanout_parity
+    (which walks the full 63-node showcase tree and is slow-tier)."""
+    import dataclasses
+
+    from raytrace_tpu.render.integrator import radiance_v, tree_nodes
+    from raytrace_tpu.scene import dsl
+    from raytrace_tpu.scene.builder import build_scene
+
+    src = MIRROR_SCENE.replace(
+        """material: PhongMaterial { diffuse: rgb(0.8,0.3,0.2)
+        specular: rgb(0.4,0.4,0.4) exponent: 16 ambient: rgb(0,0,0) } }""",
+        """material: TransparentMaterial { specular: rgb(0.9,0.9,0.9)
+        exponent: 8 ior: 1.5 } }""")
+    sc = build_scene(dsl.parse(src), dtype=jnp.float32)
+    sc = dataclasses.replace(
+        sc, spec=dataclasses.replace(sc.spec, max_depth=2))
+    spec = sc.spec
+    assert spec.children_per_ray == 2      # reflect + refract slots
+    assert tree_nodes(spec) == 15 <= megakernel.TREE_NODE_BUDGET
+    assert megakernel.usable(sc.data, spec)
+    pix, piy, aas, cam = _lanes(300, spec.width, spec.height, aa=2)
+
+    got = megakernel.radiance_lanes(sc.data, spec, pix, piy, aas, cam, 4)
+    ro, rd, k1, k2 = primary_rays(sc.data, spec, pix, piy, aas, cam, 4)
+    want = radiance_v(sc.data, spec, ro, rd, k1, k2)
+    for g, w in zip(got, want):
+        g, w = np.asarray(g), np.asarray(w)
+        close = np.isclose(g, w, rtol=1e-4, atol=1e-5)
+        assert close.mean() > 0.97, f"only {close.mean():.3f} lanes match"
+
+
 def test_tree_loop_fanout_parity(interpret_env):
     """4-sample IndirectPhong at depth 2 (85 nodes — past the static
     tree budget of 63): the stack-DFS loop runs fused and matches the

@@ -45,7 +45,11 @@ def debug_nans():
 @pytest.mark.parametrize("scene_file", SCENES)
 def test_forward_and_grad_nan_free(debug_nans, scene_file):
     sc = load_scene_file(scene_file, dtype=jnp.float32)
-    spec = dataclasses.replace(sc.spec, width=8, height=8)
+    # depth 2 keeps the eager op-by-op debug_nans run fast while still
+    # covering every NaN-prone path (TIR sqrt, Schlick pow, hemisphere
+    # normalize, zero-rd dead lanes — all reachable at depth <= 2; both
+    # historical gradient NaNs fired at depth 0)
+    spec = dataclasses.replace(sc.spec, width=8, height=8, max_depth=2)
     px = jnp.arange(8, dtype=jnp.uint32)
     py = jnp.arange(8, dtype=jnp.uint32) % spec.height
     sids = jnp.arange(2, dtype=jnp.uint32)

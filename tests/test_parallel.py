@@ -82,3 +82,17 @@ def test_mesh_shapes():
     assert m.devices.shape == (8,)
     m2 = make_mesh_2d(n_dcn=4)
     assert dict(m2.shape) == {"dcn": 4, "ici": 2}
+
+
+def test_sharded_render_large_scene_scan_path():
+    """Tile-sharded render of a > LARGE_SCENE_THRESHOLD scene — the
+    lax.scan closest-hit running inside shard_map.  Regression: the
+    scan-carry inits were replicated constants, which mismatch the
+    mesh-varying carry type under shard_map (vma)."""
+    from raytrace_tpu.scene.procedural import make_sphere_field
+
+    sc = make_sphere_field(80, width=16, height=16, dtype=jnp.float32)
+    assert sc.spec.n_objects > 64
+    a = render_image(sc, seed=2, spp=2)
+    b = render_image_sharded(sc, seed=2, spp=2)
+    np.testing.assert_array_equal(a, b)

@@ -111,8 +111,13 @@ def test_megakernel_fanout_usable(monkeypatch):
     assert not megakernel.usable(sc.data, sc.spec)
 
 
+@pytest.mark.slow
 def test_megakernel_fanout_parity(monkeypatch):
-    """Fused fan-out kernel (interpret mode) == jnp tree walk.
+    """Fused fan-out kernel (interpret mode) == jnp tree walk on the
+    FULL showcase scene (63-node static tree, all four materials, three
+    lights, DoF) — ~35 min of interpret-mode evaluation, slow tier; the
+    fast tier covers the same kernel regime on a small transparent
+    scene (test_megakernel.py::test_static_tree_fanout_parity).
 
     Same traced ops compiled separately — parity is statistical like
     the golden-scene megakernel test: FMA contraction can flip
