@@ -665,6 +665,36 @@ def _s_p_launch(spec: SceneSpec, aa: int, max_lanes: int, widest: int = 1):
     return s_launch, p_launch
 
 
+# transient device/runtime failures worth re-issuing a pure launch for
+_TRANSIENT_ERRORS = (getattr(jax.errors, "JaxRuntimeError", RuntimeError),)
+
+
+def _retry_launch(fn, *args, retries: int = 2):
+    """Run a device launch, retrying on transient runtime failures.
+
+    Every render launch is a pure function of (scene, pixel/sample
+    identity arrays) — idempotent by construction — so a launch killed
+    by a dropped device tunnel or a worker deadline is safely re-issued
+    (SURVEY.md §5.3: tile-level retry; the reference's closest analog
+    is its valid-prefix row streaming, main.rs:56-58).  Only runtime
+    errors are retried; programming errors propagate immediately.
+    ``block_until_ready`` inside the guarded region surfaces async
+    device failures here rather than at the later host fetch.
+    """
+    import sys
+    import time as _time
+
+    for attempt in range(retries + 1):
+        try:
+            return jax.block_until_ready(fn(*args))
+        except _TRANSIENT_ERRORS:
+            if attempt == retries:
+                raise
+            print(f"[raytrace_tpu] launch failed (attempt {attempt + 1}/"
+                  f"{retries + 1}); retrying", file=sys.stderr)
+            _time.sleep(0.5 * (attempt + 1))
+
+
 def _save_checkpoint(path: str, **arrays) -> None:
     """Atomic checkpoint write: temp file + ``os.replace`` so a kill
     mid-write never corrupts the resume state the feature exists to
@@ -731,7 +761,7 @@ def _image_loop(scene: Scene, launch, *, seed: int, spp: int | None,
             else:
                 g, sl = 1, rem          # ragged tail chunk
             n_s = g * sl
-            out = launch_chunks(data, spec, px_d, py_d,
+            out = _retry_launch(launch_chunks, data, spec, px_d, py_d,
                                 jnp.uint32(s0), sl, g, seed, p_launch)
             image += np.asarray(out, np.float64) * (n_s / aa)
             s0 += n_s
@@ -747,8 +777,8 @@ def _image_loop(scene: Scene, launch, *, seed: int, spp: int | None,
         s_weight = len(sids) / aa
         for p0 in range(0, h * w, p_launch):
             sl = slice(p0, min(p0 + p_launch, h * w))
-            out = launch(data, spec, jnp.asarray(px_all[sl]),
-                         jnp.asarray(py_all[sl]), sids, seed)
+            out = _retry_launch(launch, data, spec, jnp.asarray(px_all[sl]),
+                                jnp.asarray(py_all[sl]), sids, seed)
             image[sl] += np.asarray(out, np.float64) * s_weight
             if progress is not None:
                 progress(s0 + len(sids), aa, sl.stop, h * w)

@@ -250,3 +250,36 @@ def test_checkpoint_write_is_atomic(tmp_path, monkeypatch):
     after = np.load(ck)  # still loadable, still the OLD state
     np.testing.assert_array_equal(after["image"], img)
     assert int(after["s_done"]) == 7
+
+
+def test_retry_launch_transient_then_success():
+    """Tile-level retry (SURVEY.md §5.3): a launch that dies with a
+    transient runtime error is re-issued; the retried result is used.
+    Programming errors are NOT retried."""
+    import jax
+
+    from raytrace_tpu.render.integrator import _retry_launch
+
+    calls = {"n": 0}
+    err_cls = getattr(jax.errors, "JaxRuntimeError", RuntimeError)
+
+    def flaky(x):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise err_cls("transient device failure")
+        return x + 1
+
+    assert int(_retry_launch(flaky, jnp.int32(41))) == 42
+    assert calls["n"] == 2
+
+    def broken(x):
+        raise ValueError("programming error")
+
+    with pytest.raises(ValueError):
+        _retry_launch(broken, jnp.int32(0))
+
+    def always_down(x):
+        raise err_cls("still down")
+
+    with pytest.raises(err_cls):
+        _retry_launch(always_down, jnp.int32(0), retries=1)
