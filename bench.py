@@ -62,12 +62,15 @@ KS, REPS = (4, 16, 64), 5
 
 
 def _measure_slope(chain, px, py, ks=KS, reps=REPS):
-    """LSQ slope (s/launch) + intercept of median chain time over k.
+    """LSQ slope (s/launch) + intercept of median chain time over k,
+    plus the raw per-k times (for the audit tools' tables).
 
     Every timed call gets fresh inputs: a remote-device tunnel may
     serve repeated (executable, args) pairs from cache.  Medians of
     interleaved reps + a least-squares fit over chain lengths make the
-    slope robust to per-call latency outliers and drift.
+    slope robust to per-call latency outliers and drift.  This is THE
+    methodology (PERF.md) — tools/mfu_report.py and tools/perf_audit.py
+    import it rather than re-implementing, so it cannot drift.
     """
     for k in ks:
         chain(px, py, k).block_until_ready()   # compile + warm
@@ -83,7 +86,7 @@ def _measure_slope(chain, px, py, ks=KS, reps=REPS):
     a = np.array([[k, 1.0] for k in ks])
     y = np.array([med(times[k]) for k in ks])
     (per_launch, overhead), *_ = np.linalg.lstsq(a, y, rcond=None)
-    return float(per_launch), float(overhead)
+    return float(per_launch), float(overhead), times
 
 
 def main(argv=None):
@@ -137,7 +140,7 @@ def main(argv=None):
         return jax.lax.fori_loop(0, k, body, (px[0] * 0).astype(jnp.float32))
 
     chain = jax.jit(chain_body, static_argnames=("k",))
-    per_launch, overhead = _measure_slope(chain, px, py)
+    per_launch, overhead, _ = _measure_slope(chain, px, py)
     primary = n_pix * n_s * spec.cam_samples
     rays_per_sec = primary * levels / per_launch
 
@@ -176,7 +179,7 @@ def main(argv=None):
                          in_specs=(P(axes), P(axes)),
                          out_specs=P())(px, py)
 
-    slope_sh, overhead_sh = _measure_slope(chain_sharded, pxg, pyg)
+    slope_sh, overhead_sh, _ = _measure_slope(chain_sharded, pxg, pyg)
     eff = per_launch / slope_sh
     total_rays = primary * levels * n_dev / slope_sh
     # a virtual mesh (forced host device count) timeshares ONE physical

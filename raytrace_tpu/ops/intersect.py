@@ -167,6 +167,11 @@ _SCAN_CHUNK = 16
 # (O, 22) table, marginal chained-launch cost): take = 1.3 ms at every
 # O; exact one-hot = 0.44 ms @ O=128, 1.18 ms @ O=1024 => use 512.
 ONE_HOT_LOOKUP_MAX_OBJECTS = 512
+# ...and the (N, O) one-hot intermediate must also be bounded in N*O:
+# a default-lane-budget launch (4.19M lanes) against 512 objects would
+# materialize an 8.6 GB f32 matrix per level.  2^28 elements = 1 GB,
+# the measured-beneficial point (524k lanes x 512 objects).
+ONE_HOT_LOOKUP_MAX_ELEMS = 1 << 28
 
 
 def _typed_geometry(data: SceneData, spec: SceneSpec):
@@ -371,6 +376,7 @@ def _closest_hit_scanned(data: SceneData, spec: SceneSpec, ro: V3,
     t_best, obj, hit = _scan_hit_dispatch(data, spec, ro, rd)
     table = packed_object_table(data, spec)
     if (table.shape[0] <= ONE_HOT_LOOKUP_MAX_OBJECTS
+            and obj.shape[0] * table.shape[0] <= ONE_HOT_LOOKUP_MAX_ELEMS
             and jnp.dtype(dtype) == jnp.float32 and obj.ndim == 1):
         from raytrace_tpu.ops.gather import one_hot, take
         rows = take(table, one_hot(obj, table.shape[0], dtype))  # (N, 22)

@@ -291,9 +291,14 @@ def render_image_ring(scene: Scene, *, seed: int = 0,
     def launch(data, spec, px, py, sids, seed):
         raise NotImplementedError  # chunked path is always used
 
+    # the ring context disables the megakernel inside the shard_map
+    # body, so launches must be sized for the jnp wavefront's widest
+    # level — _image_loop's default _lane_width probe runs outside the
+    # ring context and would think the kernel (O(1) lanes) applies
     return _image_loop(ring_scene, launch, seed=seed, spp=spp,
                        max_lanes=max_lanes * k, progress=progress,
-                       checkpoint=checkpoint, launch_chunks=launch_chunks)
+                       checkpoint=checkpoint, launch_chunks=launch_chunks,
+                       lane_width=_wavefront_widest(spec))
 
 
 def make_ring_intersector(spec: SceneSpec, mesh, axis: str = "d",

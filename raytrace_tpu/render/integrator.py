@@ -295,11 +295,21 @@ def _dfs_schedule(m: int, levels: int):
 
 
 def tree_loop_stack(spec: SceneSpec):
-    """(m, levels, node count, stack capacity) of the DFS loop."""
+    """(m, levels, node count, stack capacity) of the DFS loop.
+
+    Closed form — NOT via :func:`_dfs_schedule`, which enumerates every
+    node and would make ``megakernel.usable()`` (called per trace)
+    O(m^levels): a uniform m-ary preorder pops 1 and pushes m at each
+    interior node, so the peak along the leftmost spine is
+    ``1 + (levels - 1) * (m - 1)``; node count is the geometric sum.
+    Equality with the enumerated schedule is asserted in
+    tests/test_tree.py::test_tree_loop_stack_closed_form.
+    """
     m = max(min(spec.max_live_children, spec.children_per_ray), 1)
     levels = spec.max_depth + 2
-    depths, cap = _dfs_schedule(m, levels)
-    return m, levels, len(depths), cap
+    n_nodes = levels if m == 1 else (m ** levels - 1) // (m - 1)
+    cap = 1 + (levels - 1) * (m - 1)
+    return m, levels, n_nodes, cap
 
 
 def radiance_tree_loop_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
@@ -710,7 +720,8 @@ def _save_checkpoint(path: str, **arrays) -> None:
 
 def _image_loop(scene: Scene, launch, *, seed: int, spp: int | None,
                 max_lanes: int, progress, checkpoint: str | None,
-                launch_chunks=None, chunk_group: int = 32) -> np.ndarray:
+                launch_chunks=None, chunk_group: int = 32,
+                lane_width: int | None = None) -> np.ndarray:
     """Host tiling loop shared by single-device and sharded rendering.
 
     Outer loop over AA-sample chunks, inner loop over pixel tiles; the
@@ -722,8 +733,15 @@ def _image_loop(scene: Scene, launch, *, seed: int, spp: int | None,
     data, spec = scene.data, scene.spec
     w, h = spec.width, spec.height
     aa = spp if spp is not None else max(spec.antialias, 1)
-    s_launch, p_launch = _s_p_launch(spec, aa, max_lanes,
-                                     _lane_width(data, spec))
+    # ``lane_width``: callers whose launch path disables the megakernel
+    # at trace time (object-sharded ring rendering: ppermute cannot run
+    # inside the kernel) must size launches for the jnp wavefront —
+    # _lane_width evaluated here, outside the ring context, would
+    # return 1 and overshoot the device lane budget by the wavefront's
+    # widest-level factor.
+    s_launch, p_launch = _s_p_launch(
+        spec, aa, max_lanes,
+        lane_width if lane_width is not None else _lane_width(data, spec))
 
     image = np.zeros((h * w, 3), np.float64)
     s_done = 0

@@ -195,6 +195,20 @@ def _unpack_params(params_ref, shapes, dtype):
     return SimpleNamespace(**fields)
 
 
+def _n_miss_records(spec: SceneSpec) -> int:
+    """Miss records the linear chain emits for a skybox scene — must
+    equal the records radiance_linear_v actually appends, because every
+    declared kernel output MUST be written: a pure-diffuse scene
+    (children_per_ray == 0) breaks after level 0 with ONE record, and
+    sizing outputs to max_depth + 2 would leave the rest unwritten —
+    undefined memory on real TPU that the post-pass would read as
+    garbage miss masks (caught by review; test_skybox_no_fanout_parity).
+    """
+    if spec.bg_type == BG_SOLID:
+        return 0
+    return 1 if spec.children_per_ray == 0 else spec.max_depth + 2
+
+
 def _radiance_fn(spec: SceneSpec):
     """The shape-agnostic radiance chain for this scene: the linear
     level loop for fan-out <= 1; small fan-out trees statically inlined
@@ -410,7 +424,7 @@ def _radiance_lanes_fwd_kernel(data: SceneData, spec: SceneSpec, pix, piy,
         compiler_params = None
 
     # skybox scenes stream (miss, rd, tp) per level out of the kernel
-    n_rec = (spec.max_depth + 2) if spec.bg_type != BG_SOLID else 0
+    n_rec = _n_miss_records(spec)
     n_out = 3 + 7 * n_rec
 
     fn = pl.pallas_call(

@@ -266,3 +266,44 @@ def test_tree_loop_fanout_parity(interpret_env):
         close = np.isclose(g, w, rtol=1e-4, atol=1e-5)
         assert close.mean() > 0.97, f"only {close.mean():.3f} lanes match"
         np.testing.assert_allclose(g.mean(), w.mean(), rtol=0.05)
+
+
+def test_skybox_no_fanout_parity(interpret_env):
+    """Pure-diffuse scene (children_per_ray == 0) + skybox: the linear
+    chain breaks after level 0, so the kernel must declare exactly ONE
+    miss record — declaring max_depth+2 left the rest unwritten
+    (undefined memory on hardware; the post-pass would read garbage
+    miss masks).  Regression for the r3 review finding."""
+    import dataclasses
+
+    from raytrace_tpu.render.megakernel import _n_miss_records
+    from raytrace_tpu.scene import dsl
+    from raytrace_tpu.scene.builder import build_scene
+    from raytrace_tpu.scene.schema import BG_SKYBOX
+
+    src = MIRROR_SCENE.replace("specular: rgb(0.3,0.3,0.3)",
+                               "specular: rgb(0,0,0)").replace(
+                               "specular: rgb(0.4,0.4,0.4)",
+                               "specular: rgb(0,0,0)")
+    sc = build_scene(dsl.parse(src), dtype=jnp.float32)
+    rng = np.random.RandomState(5)
+    cube = rng.rand(6, 4, 4, 3).astype(np.float32)
+    sc = dataclasses.replace(
+        sc,
+        data=dataclasses.replace(sc.data, bg_cube=jnp.asarray(cube)),
+        spec=dataclasses.replace(sc.spec, bg_type=BG_SKYBOX,
+                                 face_sizes=((4, 4),) * 6))
+    spec = sc.spec
+    assert spec.children_per_ray == 0
+    assert _n_miss_records(spec) == 1
+    assert megakernel.usable(sc.data, spec)
+    pix, piy, aas, cam = _lanes(500, spec.width, spec.height, aa=2)
+
+    got = megakernel.radiance_lanes(sc.data, spec, pix, piy, aas, cam, 9)
+    ro, rd, k1, k2 = primary_rays(sc.data, spec, pix, piy, aas, cam, 9)
+    want = radiance_linear_v(sc.data, spec, ro, rd, k1, k2)
+    for g, w in zip(got, want):
+        g, w = np.asarray(g), np.asarray(w)
+        close = np.isclose(g, w, rtol=1e-5, atol=1e-6)
+        assert close.mean() > 0.97, f"only {close.mean():.3f} lanes match"
+    assert float(np.max(np.asarray(got.x))) > 0.0

@@ -135,3 +135,17 @@ def test_megakernel_fanout_parity(monkeypatch):
         assert close.mean() > 0.95, f"only {close.mean():.3f} lanes match"
         np.testing.assert_allclose(g.mean(), w.mean(), rtol=0.05)
     assert float(np.max(np.asarray(got.x))) > 0.0
+
+
+def test_tree_loop_stack_closed_form():
+    """tree_loop_stack's closed-form node count / stack capacity must
+    equal the enumerated preorder schedule (the closed form exists so
+    megakernel.usable() is O(1), not O(m^levels))."""
+    from raytrace_tpu.render.integrator import _dfs_schedule
+
+    for m in (1, 2, 3, 4):
+        for levels in (2, 3, 4, 5, 6):
+            depths, cap = _dfs_schedule(m, levels)
+            n_nodes = levels if m == 1 else (m ** levels - 1) // (m - 1)
+            assert len(depths) == n_nodes, (m, levels)
+            assert cap == 1 + (levels - 1) * (m - 1), (m, levels, cap)

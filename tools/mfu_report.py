@@ -33,7 +33,6 @@ import dataclasses
 import json
 import os
 import sys
-import time
 from functools import partial
 
 import numpy as np
@@ -100,23 +99,11 @@ def measure(regime: str):
             return acc + jnp.sum(o)
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-    ks, reps = (4, 16, 64), 5
-    if regime in ("tree", "scan"):
-        ks = (2, 4, 8)                # 10-60x more work per lane
-    for k in ks:
-        chain(px, py, k).block_until_ready()
-    times = {k: [] for k in ks}
-    bias = 0
-    for _ in range(reps):
-        for k in ks:
-            bias += 1
-            t0 = time.perf_counter()
-            float(chain(px + bias, py, k))
-            times[k].append(time.perf_counter() - t0)
-    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
-    A = np.array([[k, 1.0] for k in ks])
-    y = np.array([med(times[k]) for k in ks])
-    (slope, icpt), *_ = np.linalg.lstsq(A, y, rcond=None)
+    # THE measurement methodology lives in bench._measure_slope — one
+    # source of truth for bench + audit tools (review finding r3)
+    from bench import _measure_slope
+    ks = (2, 4, 8) if regime in ("tree", "scan") else (4, 16, 64)
+    slope, icpt, _ = _measure_slope(chain, px, py, ks=ks)
 
     # exact ops/lane of the same traced program (megakernel = same trace).
     # scan regime: count the lax.scan twin of the Pallas scan kernel

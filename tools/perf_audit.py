@@ -7,7 +7,6 @@ over chain lengths and against the profiler's device-side kernel time
 import dataclasses
 import os
 import sys
-import time
 from functools import partial
 
 import numpy as np
@@ -45,19 +44,11 @@ def main(ks=(2, 4, 8, 16, 32, 64), reps=5, trace_dir=None):
             return acc + jnp.sum(o)
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-    for k in ks:
-        t0 = time.perf_counter()
-        chain(px, py, k).block_until_ready()
-        print(f"compile+warm k={k}: {time.perf_counter()-t0:.1f}s",
-              flush=True)
-    res = {k: [] for k in ks}
-    bias = 0
-    for _ in range(reps):
-        for k in ks:
-            bias += 1
-            t0 = time.perf_counter()
-            float(chain(px + bias, py, k))
-            res[k].append(time.perf_counter() - t0)
+    # THE measurement methodology lives in bench._measure_slope — one
+    # source of truth for bench + audit tools (review finding r3); this
+    # tool's job is the per-k table + linearity check on its raw times
+    from bench import _measure_slope
+    slope, icpt, res = _measure_slope(chain, px, py, ks=ks, reps=reps)
     med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
     lanes = n_pix * n_s
     print(f"lanes/launch = {lanes}, levels = {levels}")
@@ -66,9 +57,6 @@ def main(ks=(2, 4, 8, 16, 32, 64), reps=5, trace_dir=None):
         print(f"k={k:3d}: median {m*1e3:9.3f} ms  "
               f"({m/k*1e3:7.3f} ms/launch raw)  all="
               + ",".join(f"{t*1e3:.1f}" for t in sorted(res[k])))
-    A = np.array([[k, 1.0] for k in ks])
-    y = np.array([med(res[k]) for k in ks])
-    slope, icpt = np.linalg.lstsq(A, y, rcond=None)[0]
     print(f"LSQ slope = {slope*1e3:.3f} ms/launch, "
           f"intercept = {icpt*1e3:.1f} ms")
     print(f"=> rays/s = {lanes*levels/slope/1e9:.2f} G")
