@@ -111,10 +111,8 @@ def main(argv=None) -> int:
 
     n_primary = spec.width * spec.height * spp * spec.cam_samples
 
-    def progress(s_done, s_total, p_done, p_total):
+    def progress(frac):
         if not args.quiet:
-            frac = (s_done - 1) / s_total + (s_total ** -1) * (
-                p_done / p_total)
             print(f"\r[raytrace_tpu] render {100 * frac:5.1f}%",
                   end="", file=sys.stderr, flush=True)
 

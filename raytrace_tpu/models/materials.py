@@ -227,8 +227,11 @@ def shade(data: SceneData, spec: SceneSpec, ro: V3, rd: V3, hit: HitRec,
         d = vec.where(dot(d, n_f) >= 0, d, -d)
         fac = msamples * 0.5
         w = dot(n_f, d) / jnp.where(fac > 0, fac, 1.0)
-        gate = (can_spawn & is_indirect & (diffuse_gate | spec_gate)
-                & (k < msamples) & diffuse_gate)
+        # raytrace.rs:99 spawns when diffuse OR specular is significant,
+        # but a spec-only indirect child's reference contribution is
+        # all-NaN (module docstring divergence) so those are culled —
+        # leaving exactly the diffuse-significant ones
+        gate = can_spawn & is_indirect & diffuse_gate & (k < msamples)
         children.append(Child(
             ro=pt + d.scale(_OFFSET), rd=d,
             sig=sig,                      # unattenuated (raytrace.rs:109)

@@ -180,6 +180,15 @@ def _typed_geometry(data: SceneData, spec: SceneSpec):
     return np.nonzero(st == SHAPE_SPHERE)[0], np.nonzero(st == SHAPE_PLANE)[0]
 
 
+def vma_zeros(x):
+    """Zeros with ``x``'s shape, dtype AND vma (inside shard_map a
+    replicated ``jnp.zeros`` constant would mismatch varying carry
+    types).  The naive ``x * 0`` turns non-finite lanes into NaN — and
+    dead lanes legitimately carry ``rd = 0`` / arbitrary origins in the
+    masked-child pattern — so non-finite inputs are sanitized first."""
+    return jnp.where(jnp.isfinite(x), x, 0.0) * 0
+
+
 def _scan_min(t_best, obj, hit, params, ids, body, n_like):
     """Scan ``body`` over chunks of the object axis, carrying the
     running (t_best, obj, hit).  params: (O, K) rows; ids: (O,) int32
@@ -218,12 +227,12 @@ def _scan_all_objects(data: SceneData, spec: SceneSpec, ro: V3, rd: V3, a):
     """Running-min over all objects via lax.scan (large scenes)."""
     n_like = ro.x
     sph, pln = _typed_geometry(data, spec)
-    # carries derive from the rays so they inherit their vma: inside
-    # shard_map a replicated constant init would mismatch the varying
-    # scan-carry type (caught driving the sharded >64-object render)
-    t_best = n_like * 0 + jnp.inf
-    obj = (n_like * 0).astype(jnp.int32) + np.int32(2 ** 31 - 1)
-    hit = n_like > jnp.inf
+    # carries derive from the rays so they inherit their vma (see
+    # vma_zeros; caught driving the sharded >64-object render)
+    zero = vma_zeros(n_like)
+    t_best = zero + jnp.inf
+    obj = zero.astype(jnp.int32) + np.int32(2 ** 31 - 1)
+    hit = zero > 1
 
     if len(sph):
         rows = jnp.concatenate(

@@ -144,10 +144,20 @@ def _kernel(ids_ref, bnd_ref, tab_ref, rox, roy, roz, rdx, rdy, rdz,
             b = 2.0 * (rd.x * ocx + rd.y * ocy + rd.z * ocz)
             cc = ocx * ocx + ocy * ocy + ocz * ocz - br * br
             disc = b * b - 4.0 * a * cc
-            pos = disc > 0.0
-            sq = jnp.sqrt(jnp.where(pos, disc, 0.0))
-            enters = pos & ((-b + sq) > 0.0)          # exit in front
-            may = enters & ((-b - sq) * inv2a <= t_out[...])
+            # f32 cancellation in b*b - 4ac grows ~eps*b^2 with the
+            # origin-to-chunk distance squared, while the bound's own
+            # inflation (_chunk_bounds) covers only ~r^2 — a grazing
+            # ray from far away could see a spuriously NEGATIVE disc
+            # and falsely cull a chunk containing a real hit (silent
+            # wrong pixel; tests/test_intersect_pallas.py covers the
+            # large-coordinate case).  All three tests take relative
+            # slack proportional to the quantities that carry the
+            # rounding error.
+            pos = disc > -1e-5 * (b * b)
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            margin = 1e-5 * jnp.abs(b) * inv2a + 1e-4
+            enters = pos & ((-b + sq) * inv2a > -margin)  # exit in front
+            may = enters & ((-b - sq) * inv2a <= t_out[...] + margin)
 
             @pl.when(jnp.any(may))
             def _():
@@ -190,8 +200,10 @@ def _jnp_scan_reference(table, ids, n_sph_pad, ro, rd):
     """The kernel's semantics in plain lax.scan (VJP + parity)."""
     a = rd.x * rd.x + rd.y * rd.y + rd.z * rd.z
     # derive the carry init from ro.x so it inherits ro's vma (inside
-    # shard_map a replicated zeros init would mismatch the carry type)
-    zero = ro.x * 0
+    # shard_map a replicated zeros init would mismatch the carry type);
+    # vma_zeros also sanitizes non-finite dead-lane origins
+    from raytrace_tpu.ops.intersect import vma_zeros
+    zero = vma_zeros(ro.x)
     init = (zero + jnp.inf, zero.astype(jnp.int32) + _ID_SENTINEL,
             zero > 1)
 

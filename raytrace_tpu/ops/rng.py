@@ -22,11 +22,14 @@ main.rs:43); only statistical parity with out.bmp is meaningful
 
 Two backends:
 
-* ``mix`` (default): 2-round splitmix32-style integer mixer.  Pure uint32
-  VPU arithmetic, extremely cheap, quality far above the reference's
-  XorShift for Monte-Carlo purposes.
+* ``mix`` (default, the renderer's only production backend): 2-round
+  splitmix32-style integer mixer.  Pure uint32 VPU arithmetic, extremely
+  cheap, quality far above the reference's XorShift for Monte-Carlo
+  purposes.
 * ``threefry``: jax.random (threefry2x32) via per-lane fold-in.  Slower;
-  used as a statistical cross-check in tests.
+  exists solely as the independent statistical cross-check oracle in
+  tests/test_rng.py (uniformity / independence / rendered-mean
+  agreement within MC error).
 """
 
 from __future__ import annotations

@@ -675,8 +675,23 @@ def _s_p_launch(spec: SceneSpec, aa: int, max_lanes: int, widest: int = 1):
     return s_launch, p_launch
 
 
-# transient device/runtime failures worth re-issuing a pure launch for
+# runtime failures worth re-issuing a pure launch for
 _TRANSIENT_ERRORS = (getattr(jax.errors, "JaxRuntimeError", RuntimeError),)
+# deterministic XLA statuses that a retry cannot fix: re-raise at once
+# (an OOM retry even actively hurts — it thrashes the allocator)
+_PERMANENT_MARKERS = ("RESOURCE_EXHAUSTED", "RESOURCE EXHAUSTED",
+                      "INVALID_ARGUMENT", "INVALID ARGUMENT",
+                      "OUT_OF_RANGE", "UNIMPLEMENTED", "FAILED_PRECONDITION",
+                      "out of memory", "Out of memory")
+
+
+def _is_transient(err: BaseException) -> bool:
+    """Whether a JaxRuntimeError is plausibly transient (dropped device
+    tunnel, worker deadline, preemption) rather than a deterministic
+    failure.  JaxRuntimeError carries the XLA status in its message;
+    anything matching a permanent status class is NOT retried."""
+    msg = str(err)
+    return not any(m in msg for m in _PERMANENT_MARKERS)
 
 
 def _retry_launch(fn, *args, retries: int = 2):
@@ -686,10 +701,12 @@ def _retry_launch(fn, *args, retries: int = 2):
     identity arrays) — idempotent by construction — so a launch killed
     by a dropped device tunnel or a worker deadline is safely re-issued
     (SURVEY.md §5.3: tile-level retry; the reference's closest analog
-    is its valid-prefix row streaming, main.rs:56-58).  Only runtime
-    errors are retried; programming errors propagate immediately.
-    ``block_until_ready`` inside the guarded region surfaces async
-    device failures here rather than at the later host fetch.
+    is its valid-prefix row streaming, main.rs:56-58).  Only transient
+    runtime errors are retried (``_is_transient``); programming errors
+    and deterministic XLA failures (OOM, invalid argument) propagate
+    immediately.  ``block_until_ready`` inside the guarded region
+    surfaces async device failures here rather than at the later host
+    fetch.
     """
     import sys
     import time as _time
@@ -697,8 +714,8 @@ def _retry_launch(fn, *args, retries: int = 2):
     for attempt in range(retries + 1):
         try:
             return jax.block_until_ready(fn(*args))
-        except _TRANSIENT_ERRORS:
-            if attempt == retries:
+        except _TRANSIENT_ERRORS as e:
+            if attempt == retries or not _is_transient(e):
                 raise
             print(f"[raytrace_tpu] launch failed (attempt {attempt + 1}/"
                   f"{retries + 1}); retrying", file=sys.stderr)
@@ -729,6 +746,10 @@ def _image_loop(scene: Scene, launch, *, seed: int, spp: int | None,
     every completed sample chunk, so a killed long render resumes at the
     last chunk boundary — the TPU-native analog of the reference's
     valid-prefix row streaming (main.rs:56-58; SURVEY.md §5.4).
+
+    ``progress``: called with one float, the completed fraction in
+    [0, 1] (samples fully accumulated plus the in-flight chunk's pixel
+    share).
     """
     data, spec = scene.data, scene.spec
     w, h = spec.width, spec.height
@@ -784,7 +805,7 @@ def _image_loop(scene: Scene, launch, *, seed: int, spp: int | None,
             image += np.asarray(out, np.float64) * (n_s / aa)
             s0 += n_s
             if progress is not None:
-                progress(s0, aa, h * w, h * w)
+                progress(s0 / aa)
             if checkpoint is not None:
                 _save_checkpoint(checkpoint, image=image, s_done=s0,
                                  width=w, height=h, aa=aa, seed=seed)
@@ -799,7 +820,8 @@ def _image_loop(scene: Scene, launch, *, seed: int, spp: int | None,
                                 jnp.asarray(py_all[sl]), sids, seed)
             image[sl] += np.asarray(out, np.float64) * s_weight
             if progress is not None:
-                progress(s0 + len(sids), aa, sl.stop, h * w)
+                # fully-done samples + the in-flight chunk's pixel share
+                progress((s0 + len(sids) * sl.stop / (h * w)) / aa)
         if checkpoint is not None:
             _save_checkpoint(checkpoint, image=image, s_done=s0 + len(sids),
                              width=w, height=h, aa=aa, seed=seed)

@@ -77,8 +77,7 @@ def load_texture(path: str) -> np.ndarray:
 
 
 def build_scene(ast: dsl.SceneAst, *, dtype=jnp.float32,
-                scene_dir: str | None = None,
-                rng_backend: str = "mix") -> Scene:
+                scene_dir: str | None = None) -> Scene:
     """Assemble the device scene from a parsed AST."""
     f = lambda x: jnp.asarray(np.asarray(x, np.float64), dtype)  # noqa: E731
 
@@ -192,7 +191,6 @@ def build_scene(ast: dsl.SceneAst, *, dtype=jnp.float32,
         has_reflect=has_reflect,
         has_refract=has_refract,
         n_indirect=n_indirect,
-        rng_backend=rng_backend,
         face_sizes=face_sizes,
     )
     data = SceneData(
@@ -210,11 +208,9 @@ def build_scene(ast: dsl.SceneAst, *, dtype=jnp.float32,
     return Scene(data=data, spec=spec)
 
 
-def load_scene_file(path: str, *, dtype=jnp.float32,
-                    rng_backend: str = "mix") -> Scene:
+def load_scene_file(path: str, *, dtype=jnp.float32) -> Scene:
     """Read + parse + build a scene file (main.rs:15-30 equivalent)."""
     with open(path, "r") as fh:
         text = fh.read()
     return build_scene(dsl.parse(text), dtype=dtype,
-                       scene_dir=os.path.dirname(os.path.abspath(path)),
-                       rng_backend=rng_backend)
+                       scene_dir=os.path.dirname(os.path.abspath(path)))

@@ -148,8 +148,6 @@ class SceneSpec:
     has_refract: bool = False     # any transparent material
     n_indirect: int = 0           # max MC samples over indirect materials
 
-    rng_backend: str = "mix"
-
     # static (h, w) of each loaded skybox face (texture.rs:20-24);
     # faces are padded into one (6, Hmax, Wmax, 3) array in SceneData
     face_sizes: tuple[tuple[int, int], ...] = ((1, 1),) * 6

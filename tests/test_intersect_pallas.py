@@ -107,3 +107,43 @@ def test_chunk_cull_output_invariant(interpret_env, monkeypatch):
     np.testing.assert_array_equal(np.asarray(g_c), np.asarray(g_n))
     np.testing.assert_array_equal(np.asarray(t_c), np.asarray(t_n))
     assert np.asarray(h_c).any() and not np.asarray(h_c).all()
+
+
+def test_chunk_cull_invariant_distant_camera(interpret_env, monkeypatch):
+    """Cull invariance at LARGE origin-to-chunk distances: f32
+    cancellation in the bound test's discriminant grows ~eps * |ro-C|^4
+    while the bound inflation covers only ~r^2, so without the relative
+    slack in the cull (intersect_pallas.py) a grazing ray from hundreds
+    of bound-radii away can falsely cull a chunk containing a real hit
+    (ADVICE r3 #1).  Rays are aimed exactly at known sphere centers from
+    5000 units out, plus deliberate near-grazing directions."""
+    sc = make_sphere_field(200, mix_materials=False)
+    table, n_sph_pad, idmap = _packed_tables(sc.data, sc.spec)
+    centers = np.asarray(sc.data.prim_p)[5:205]  # sphere rows
+    radii = np.asarray(sc.data.prim_q)[5:205, 0]
+
+    r = np.random.RandomState(11)
+    far = np.array([3000.0, 4000.0, 5000.0], np.float32)
+    n = 256
+    idx = r.randint(0, 200, n)
+    aim = centers[idx].astype(np.float64)
+    # half dead-center, half grazing: offset the aim point by ~0.999 r
+    # along a random tangent so the true hit is marginal
+    tang = r.normal(0, 1, (n, 3))
+    tang /= np.linalg.norm(tang, axis=1, keepdims=True)
+    graze = aim + tang * (radii[idx] * 0.995)[:, None]
+    target = np.where((np.arange(n) % 2 == 0)[:, None], aim, graze)
+    rd = target - far
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    ro_v = splat(jnp.asarray(np.repeat(far[None], n, 0), jnp.float32))
+    rd_v = splat(jnp.asarray(rd, jnp.float32))
+
+    t_c, g_c, h_c = ip.scan_hit(table, idmap, n_sph_pad, ro_v, rd_v)
+    monkeypatch.setenv("RAYTRACE_TPU_NO_CULL", "1")
+    t_n, g_n, h_n = ip.scan_hit(table, idmap, n_sph_pad, ro_v, rd_v)
+
+    np.testing.assert_array_equal(np.asarray(h_c), np.asarray(h_n))
+    np.testing.assert_array_equal(np.asarray(g_c), np.asarray(g_n))
+    np.testing.assert_array_equal(np.asarray(t_c), np.asarray(t_n))
+    # the dead-center half must actually hit (else the test is vacuous)
+    assert np.asarray(h_c)[::2].mean() > 0.9
