@@ -105,6 +105,8 @@ def main(argv=None):
         # pins jax_platforms via jax.config (overriding the env var);
         # force host execution for the virtual-mesh scaling record
         jax.config.update("jax_platforms", "cpu")
+    from raytrace_tpu.parallel.mesh import maybe_init_distributed
+    maybe_init_distributed()
     import jax.numpy as jnp
     from raytrace_tpu.scene.builder import load_scene_file
     from raytrace_tpu.render.integrator import sample_pixels

@@ -70,6 +70,12 @@ def main(argv=None) -> int:
         # escape hatch forces host execution for tests/CI
         jax.config.update("jax_platforms", "cpu")
 
+    # multi-process bring-up BEFORE the first device query (SURVEY.md
+    # §5.8) — no-op unless the env configures a cluster
+    from raytrace_tpu.parallel.mesh import maybe_init_distributed
+    maybe_init_distributed()
+    multiproc = getattr(jax, "process_count", lambda: 1)() > 1
+
     import jax.numpy as jnp
     import dataclasses
 
@@ -120,6 +126,26 @@ def main(argv=None) -> int:
         jax.profiler.start_trace(args.profile)
 
     t0 = time.perf_counter()
+    if multiproc:
+        # multi-host: collective render, per-host row-band writes into
+        # the shared BMP (parallel/multihost.py) — host 0 never holds
+        # the full image; the encode/write phase is folded in
+        from raytrace_tpu.parallel.multihost import render_to_bmp_multihost
+        render_to_bmp_multihost(scene, args.output, seed=args.seed,
+                                spp=spp, max_lanes=args.max_lanes,
+                                progress=progress)
+        dt = time.perf_counter() - t0
+        if not args.quiet:
+            print("", file=sys.stderr)
+        log.event("render_done", seconds=round(dt, 3),
+                  primary_samples=n_primary,
+                  samples_per_sec=round(n_primary / dt),
+                  rays_per_sec=round(
+                      n_primary * (spec.max_depth + 2) / dt),
+                  processes=jax.process_count())
+        if args.profile:
+            jax.profiler.stop_trace()
+        return 0
     if args.shard_objects:
         from raytrace_tpu.parallel.ring import render_image_ring
         img = render_image_ring(scene, seed=args.seed, spp=spp,

@@ -345,32 +345,40 @@ def packed_object_table(data: SceneData, spec: SceneSpec) -> jnp.ndarray:
     ], axis=1)
 
 
-def hitrec_from_rows(rows, t_best, obj, hit, ro: V3, rd: V3) -> HitRec:
-    """Assemble a HitRec from gathered packed-table rows (N, 22):
-    normal reconstruction, surface snapping, material fields."""
+def hitrec_from_cols(col, t_best, obj, hit, ro: V3, rd: V3) -> HitRec:
+    """Assemble a HitRec from the winning object's packed-table columns:
+    normal reconstruction, surface snapping, material fields.  ``col``
+    maps a packed-table column index (packed_object_table layout) to the
+    per-lane selected value — ``rows[:, j]`` for the gathered (N, 22)
+    jnp path, a pre-selected lane block for the in-kernel path."""
     t_safe = jnp.where(hit, t_best, 0.0)
     pt = ro + rd.scale(t_safe)
-    rel = pt - V3(rows[:, 0], rows[:, 1], rows[:, 2])
+    rel = pt - V3(col(0), col(1), col(2))
     nrm2 = dot(rel, rel)
     inv = jax.lax.rsqrt(jnp.where(nrm2 > 0, nrm2, 1.0))
-    is_sph = rows[:, 21] > 0.5
-    normal = V3(jnp.where(is_sph, rel.x * inv, rows[:, 3]),
-                jnp.where(is_sph, rel.y * inv, rows[:, 4]),
-                jnp.where(is_sph, rel.z * inv, rows[:, 5]))
-    pt = _snapped_point(pt, rel, inv, is_sph, rows[:, 3],
-                        V3(rows[:, 3], rows[:, 4], rows[:, 5]),
-                        V3(rows[:, 0], rows[:, 1], rows[:, 2]))
+    is_sph = col(21) > 0.5
+    normal = V3(jnp.where(is_sph, rel.x * inv, col(3)),
+                jnp.where(is_sph, rel.y * inv, col(4)),
+                jnp.where(is_sph, rel.z * inv, col(5)))
+    pt = _snapped_point(pt, rel, inv, is_sph, col(3),
+                        V3(col(3), col(4), col(5)),
+                        V3(col(0), col(1), col(2)))
 
     return HitRec(
         t=t_best, hit=hit, obj=obj, normal=normal, pt=pt,
-        diffuse=V3(rows[:, 6], rows[:, 7], rows[:, 8]),
-        specular=V3(rows[:, 9], rows[:, 10], rows[:, 11]),
-        ambient=V3(rows[:, 12], rows[:, 13], rows[:, 14]),
-        exponent=rows[:, 15],
-        ior=jnp.where(hit, rows[:, 16], 1.0),  # miss lanes: finite ior
-        msamples=rows[:, 17],
-        is_fresnel=rows[:, 18] > 0.5, is_transp=rows[:, 19] > 0.5,
-        is_indirect=rows[:, 20] > 0.5)
+        diffuse=V3(col(6), col(7), col(8)),
+        specular=V3(col(9), col(10), col(11)),
+        ambient=V3(col(12), col(13), col(14)),
+        exponent=col(15),
+        ior=jnp.where(hit, col(16), 1.0),  # miss lanes: finite ior
+        msamples=col(17),
+        is_fresnel=col(18) > 0.5, is_transp=col(19) > 0.5,
+        is_indirect=col(20) > 0.5)
+
+
+def hitrec_from_rows(rows, t_best, obj, hit, ro: V3, rd: V3) -> HitRec:
+    """Assemble a HitRec from gathered packed-table rows (N, 22)."""
+    return hitrec_from_cols(lambda j: rows[:, j], t_best, obj, hit, ro, rd)
 
 
 def _closest_hit_scanned(data: SceneData, spec: SceneSpec, ro: V3,
@@ -411,12 +419,32 @@ def set_ring_ctx(ctx):
     return prev
 
 
+# --- in-kernel (VMEM-table) dispatch ---------------------------------------
+# Trace-time hook set by the Pallas megakernel's LARGE-scene regime:
+# while an InlineCtx is active (tracing inside the fused kernel body),
+# closest-hit and shadow queries fold over the VMEM-resident primitive
+# table refs (ops/intersect_inline.py) instead of unrolling the scene
+# or nesting a pallas_call (which is impossible inside a kernel).
+_INLINE_CTX = None
+
+
+def set_inline_ctx(ctx):
+    """Install an in-kernel table context; returns the previous one."""
+    global _INLINE_CTX
+    prev = _INLINE_CTX
+    _INLINE_CTX = ctx
+    return prev
+
+
 @annotate("intersect")
 def closest_hit(data: SceneData, spec: SceneSpec, ro: V3, rd: V3) -> HitRec:
     """Closest-hit query + material row selection (scene.rs:247-249)."""
     if _RING_CTX is not None:
         from raytrace_tpu.parallel import ring
         return ring.ring_closest_hit(_RING_CTX, ro, rd)
+    if _INLINE_CTX is not None:
+        from raytrace_tpu.ops import intersect_inline
+        return intersect_inline.inline_closest_hit(_INLINE_CTX, ro, rd)
     dtype = ro.x.dtype
     n_like = ro.x
     a = dot(rd, rd)
@@ -513,6 +541,10 @@ def occluded_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
     if _RING_CTX is not None:
         from raytrace_tpu.parallel import ring
         return ring.ring_occluded(_RING_CTX, ro, rd, sq_range, has_range)
+    if _INLINE_CTX is not None:
+        from raytrace_tpu.ops import intersect_inline
+        return intersect_inline.inline_occluded(_INLINE_CTX, ro, rd,
+                                                sq_range, has_range)
     a = dot(rd, rd)
     n_live = sum(1 for t in spec.shape_type if t >= 0)
     if n_live > LARGE_SCENE_THRESHOLD:

@@ -1,0 +1,200 @@
+"""In-kernel closest-hit over VMEM-resident primitive tables.
+
+This is what lets the Pallas megakernel (render/megakernel.py) fuse the
+WHOLE pipeline for scenes past ``LARGE_SCENE_THRESHOLD`` objects — the
+reference handles any object count inside its one recursive loop
+(scene.rs:247-249), so the TPU-first build must not fall off a perf
+cliff at a magic count (VERDICT r3 #1).  Small scenes ride the SMEM
+scalar shim (megakernel._Tab: program size O(objects)); here the
+unified primitive table, the packed per-object material table, and the
+chunk metadata are *kernel inputs resident in VMEM/SMEM* (10k objects =
+~1 MB — capacity was never the problem), walked with ``fori_loop``s of
+O(1) program size:
+
+1. **Fold pass** — the scan kernel's running-min fold
+   (ops/intersect_pallas.py semantics exactly: same formulas, same
+   chunk culling with the same relative-slack bound test, same
+   first-in-scene-order tie-break) over dynamic ``(CHUNK, 4)`` VMEM
+   slices, producing per-lane ``(t_best, obj, hit)``.
+
+2. **Material pass** — the winning object's 22-column packed-table row
+   (intersect.packed_object_table layout) is resolved by comparison
+   (``obj == gid``), not gather (Mosaic has no per-lane gather):
+   chunks whose [min gid, max gid] range cannot contain any lane's
+   winner are skipped with one ``lax.cond``; matching chunks cost
+   CHUNK compares + CHUNK*22 selects.  A coherent lane block's winners
+   concentrate in a few chunks, so the pass is cheap exactly when the
+   fold is (same spatial-locality argument as chunk culling).
+
+Both passes run *inside* the caller's kernel at whatever lane shape the
+megakernel uses — nothing here launches a pallas_call.  Shadow queries
+(inline_occluded) need only the fold.  Parity with the jnp scanned path
+(_closest_hit_scanned) is asserted field-for-field in
+tests/test_megakernel_large.py (interpret mode).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+
+from raytrace_tpu.ops.intersect import HitRec, hitrec_from_cols
+from raytrace_tpu.ops.vec import V3, dot
+
+_N_COLS = 22  # packed_object_table width
+
+
+class InlineCtx(NamedTuple):
+    """Refs + static geometry of the VMEM-resident scene tables."""
+
+    tab_ref: Any      # (C*CK, 4) f32 VMEM: unified primitive table
+    mat_ref: Any      # (C*CK, 22) f32 VMEM: row-aligned packed obj table
+    ids_ref: Any      # (C, CK) int32 SMEM: global obj id per row (-1 pad)
+    rng_ref: Any      # (C, 2) int32 SMEM: [min gid, max gid] per chunk
+    bnd_ref: Any      # (C, 4) f32 SMEM: chunk bounding spheres
+    chunk: int        # CK (rows per chunk)
+    n_sph_chunks: int
+    n_chunks: int
+    cull: bool
+
+
+_ID_SENTINEL = np.int32(2 ** 31 - 1)
+
+
+def _fold_chunk(ctx: InlineCtx, c, carry, body):
+    """Fold one chunk's CK rows into the running (t_best, obj, hit) —
+    the exact update of intersect_pallas._kernel.fold."""
+    t_b, ob, h = carry
+    rows = ctx.tab_ref[pl.ds(c * ctx.chunk, ctx.chunk), :]
+    for k in range(ctx.chunk):
+        t_i, v_i = body(rows, k)
+        gid = ctx.ids_ref[c, k]
+        t_i = jnp.where(v_i, t_i, jnp.inf)
+        better = (t_i < t_b) | ((t_i == t_b) & v_i & (gid < ob))
+        t_b = jnp.where(better, t_i, t_b)
+        ob = jnp.where(better, gid, ob)
+        h = h | v_i
+    return t_b, ob, h
+
+
+def inline_fold(ctx: InlineCtx, ro: V3, rd: V3):
+    """(t_best, obj, hit) over the whole table — the scan kernel's
+    semantics (first-minimum in scene order on exact ties) at the
+    caller's lane shape."""
+    a = dot(rd, rd)
+    inv2a = 0.5 / jnp.where(a > 0, a, 1.0)   # zero-rd-safe
+    shape = ro.x.shape
+    init = (jnp.full(shape, jnp.inf, ro.x.dtype),
+            jnp.full(shape, _ID_SENTINEL, jnp.int32),
+            jnp.zeros(shape, bool))
+
+    def sphere_body(rows, k):
+        cx, cy, cz, r = rows[k, 0], rows[k, 1], rows[k, 2], rows[k, 3]
+        ocx, ocy, ocz = ro.x - cx, ro.y - cy, ro.z - cz
+        b = 2.0 * (rd.x * ocx + rd.y * ocy + rd.z * ocz)
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b * b - 4.0 * a * cc
+        has = disc > 0.0
+        sq = jnp.sqrt(jnp.where(has, disc, 1.0))
+        t1 = (-b - sq) * inv2a
+        t2 = (-b + sq) * inv2a
+        t = jnp.where(t1 > 0.0, t1, t2)
+        # r > 0 masks zero-padding rows (intersect_pallas.py note)
+        return t, has & (t > 0.0) & (r > 0.0)
+
+    def plane_body(rows, k):
+        nx, ny, nz, pn = rows[k, 0], rows[k, 1], rows[k, 2], rows[k, 3]
+        denom = rd.x * nx + rd.y * ny + rd.z * nz
+        numer = pn - (ro.x * nx + ro.y * ny + ro.z * nz)
+        ok = denom != 0.0
+        t = numer / jnp.where(ok, denom, 1.0)
+        return t, ok & (t > 0.0)
+
+    def sph_step(c, carry):
+        def do(cr):
+            return _fold_chunk(ctx, c, cr, sphere_body)
+
+        if not ctx.cull:
+            return do(carry)
+        # chunk culling: identical bound test + relative slack as
+        # intersect_pallas._kernel (output-invariant by construction)
+        bx, by, bz = ctx.bnd_ref[c, 0], ctx.bnd_ref[c, 1], ctx.bnd_ref[c, 2]
+        br = ctx.bnd_ref[c, 3]
+        ocx, ocy, ocz = ro.x - bx, ro.y - by, ro.z - bz
+        b = 2.0 * (rd.x * ocx + rd.y * ocy + rd.z * ocz)
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - br * br
+        disc = b * b - 4.0 * a * cc
+        pos = disc > -1e-5 * (b * b)
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        margin = 1e-5 * jnp.abs(b) * inv2a + 1e-4
+        enters = pos & ((-b + sq) * inv2a > -margin)
+        may = enters & ((-b - sq) * inv2a <= carry[0] + margin)
+        return jax.lax.cond(jnp.any(may), do, lambda cr: cr, carry)
+
+    def pln_step(c, carry):
+        return _fold_chunk(ctx, c, carry, plane_body)
+
+    carry = jax.lax.fori_loop(0, ctx.n_sph_chunks, sph_step, init)
+    carry = jax.lax.fori_loop(ctx.n_sph_chunks, ctx.n_chunks, pln_step,
+                              carry)
+    return carry
+
+
+def _select_rows(ctx: InlineCtx, obj):
+    """The winning object's 22 packed-table columns, resolved by
+    comparison against the chunked id table.  ``obj`` must already be
+    miss-mapped to 0 (matching _closest_hit_scanned's gather)."""
+    shape = obj.shape
+    dtype = jnp.float32
+
+    def step(c, cols):
+        def do(cols):
+            rows = ctx.mat_ref[pl.ds(c * ctx.chunk, ctx.chunk), :]
+            cols = list(cols)
+            for k in range(ctx.chunk):
+                sel = obj == ctx.ids_ref[c, k]
+                cols = [jnp.where(sel, rows[k, j], col)
+                        for j, col in enumerate(cols)]
+            return tuple(cols)
+
+        # skip chunks whose gid range cannot contain any lane's winner
+        lo, hi = ctx.rng_ref[c, 0], ctx.rng_ref[c, 1]
+        present = jnp.any((obj >= lo) & (obj <= hi))
+        return jax.lax.cond(present, do, lambda cs: cs, cols)
+
+    init = tuple(jnp.zeros(shape, dtype) for _ in range(_N_COLS))
+    return jax.lax.fori_loop(0, ctx.n_chunks, step, init)
+
+
+def inline_closest_hit(ctx: InlineCtx, ro: V3, rd: V3) -> HitRec:
+    """Closest-hit + material row, field-identical to the jnp scanned
+    path (_closest_hit_scanned) at the caller's lane shape."""
+    t_best, obj, hit = inline_fold(ctx, ro, rd)
+    obj0 = jnp.where(hit, obj, 0)   # miss lanes carry object-0 params
+    cols = _select_rows(ctx, obj0)
+    return hitrec_from_cols(lambda j: cols[j], t_best, obj0, hit, ro, rd)
+
+
+def inline_occluded(ctx: InlineCtx, ro: V3, rd: V3, sq_range,
+                    has_range: bool):
+    """Shadow query: any hit inside range (min-free equivalence,
+    ops/intersect.py module docstring)."""
+    t_best, _, hit = inline_fold(ctx, ro, rd)
+    if has_range:
+        return hit & (t_best * t_best < sq_range)
+    return hit
+
+
+def chunk_id_ranges(idmap, chunk: int) -> jnp.ndarray:
+    """(C, 2) int32 [min gid, max gid] per chunk for the material-pass
+    skip test; pad rows (id -1) are excluded from the min so an all-pad
+    chunk gets an empty range [sentinel, -1]."""
+    ids2 = idmap.reshape(-1, chunk)
+    lo = jnp.min(jnp.where(ids2 >= 0, ids2, _ID_SENTINEL), axis=1)
+    hi = jnp.max(ids2, axis=1)
+    return jnp.stack([lo, hi], axis=1).astype(jnp.int32)

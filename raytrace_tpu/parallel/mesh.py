@@ -34,6 +34,36 @@ def init_distributed(coordinator: str | None = None,
         pass  # already initialized (or single-process backend)
 
 
+def maybe_init_distributed() -> bool:
+    """Initialize multi-process JAX iff the environment asks for it —
+    called by the CLI and bench BEFORE any device query.
+
+    Two triggers (first match wins):
+
+    * ``RAYTRACE_TPU_COORDINATOR`` (+ ``RAYTRACE_TPU_NUM_PROCESSES`` /
+      ``RAYTRACE_TPU_PROCESS_ID``): explicit cluster spec — the
+      2-process CPU-cluster test drives this path;
+    * ``RAYTRACE_TPU_DISTRIBUTED=1``: TPU-pod auto-detection
+      (``jax.distributed.initialize()`` with no args — the runtime env
+      provides coordinator/count/id on Cloud TPU).
+
+    Returns True when an initialization was attempted.
+    """
+    import os
+
+    coord = os.environ.get("RAYTRACE_TPU_COORDINATOR")
+    if coord:
+        init_distributed(
+            coordinator=coord,
+            num_processes=int(os.environ["RAYTRACE_TPU_NUM_PROCESSES"]),
+            process_id=int(os.environ["RAYTRACE_TPU_PROCESS_ID"]))
+        return True
+    if os.environ.get("RAYTRACE_TPU_DISTRIBUTED", "") not in ("", "0"):
+        init_distributed()
+        return True
+    return False
+
+
 def make_mesh(devices=None, axis_name: str = "d") -> Mesh:
     """Flat 1-D mesh over all (or the given) devices."""
     devices = jax.devices() if devices is None else devices

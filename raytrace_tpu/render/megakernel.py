@@ -32,10 +32,15 @@ Design notes:
   This keeps every vector op on perfectly tiled ``(rows, 128)`` blocks
   and sidesteps any gather machinery.
 
-* **Scope.**  Fan-out scenes (transparent reflect+refract, multi-sample
-  indirect), skybox backgrounds (per-lane texture gather), f64, and
-  large scanned scenes fall back to the jnp path automatically —
-  ``usable()`` is the single gate.
+* **Scope.**  ``usable()`` is the single gate.  Linear (fan-out <= 1)
+  scenes run fused at ANY object count: small scenes read the scene
+  from SMEM scalars; past ``LARGE_SCENE_THRESHOLD`` objects the
+  primitive + material tables ride VMEM and closest-hit becomes the
+  in-kernel chunk fold of :mod:`raytrace_tpu.ops.intersect_inline`
+  (chunk culling included), so a 100-10,000-object scene keeps fused
+  28 B/lane shading instead of dropping to the HBM-bound jnp wavefront.
+  Fan-out *small* scenes run as static DFS / stack-DFS loops; fan-out
+  large scenes, skybox x fan-out, and f64 fall back to the jnp path.
 """
 
 from __future__ import annotations
@@ -66,17 +71,27 @@ BLOCK_ROWS = int(os.environ.get("RAYTRACE_TPU_MEGAKERNEL_ROWS", "64"))
 TREE_BLOCK_ROWS = int(os.environ.get(
     "RAYTRACE_TPU_MEGAKERNEL_TREE_ROWS", "16"))
 
-# packed scalar layout: every SceneData leaf except bg_cube (solid
-# backgrounds never touch it), in declaration order
-_LAYOUT = (
+# packed scalar layout: SceneData leaves that ride the SMEM row, in
+# declaration order.  bg_cube is excluded always (solid backgrounds
+# never touch it; skybox gathers run in the deferred post-pass).  In
+# the LARGE-scene regime the per-object leaves (_LAYOUT_OBJ) leave SMEM
+# entirely — they ride VMEM tables consumed by the in-kernel fold
+# (ops/intersect_inline.py) — and only _LAYOUT_MISC is packed.
+_LAYOUT_OBJ = (
     ("prim_p", 2), ("prim_q", 2),
     ("mat_diffuse", 2), ("mat_specular", 2), ("mat_exponent", 1),
     ("mat_ambient", 2), ("mat_ior", 1), ("mat_samples", 1),
+)
+_LAYOUT_MISC = (
     ("light_p", 2), ("light_e1", 2), ("light_e2", 2), ("light_color", 2),
     ("cam_position", 1), ("cam_matrix", 2),
     ("cam_focus", 0), ("cam_aperture", 0), ("cam_im_dist", 0),
     ("bg_color", 1),
 )
+
+
+def _layout(large: bool):
+    return _LAYOUT_MISC if large else _LAYOUT_OBJ + _LAYOUT_MISC
 
 
 def _env_flag(name: str) -> bool:
@@ -107,6 +122,31 @@ def _tree_loop_stack_bytes(spec: SceneSpec) -> int:
     return cap * 13 * TREE_BLOCK_ROWS * LANE * 4
 
 
+# LARGE-scene regime: lane blocks per grid step (the in-kernel fold's
+# material pass keeps 22 live column blocks, so smaller than the small-
+# scene default), and the VMEM budget for the resident primitive +
+# material tables ((rows, 4) + (rows, 22) f32 = 104 B/row -> the default
+# 4 MiB covers ~40k objects)
+LARGE_BLOCK_ROWS = int(os.environ.get(
+    "RAYTRACE_TPU_MEGAKERNEL_LARGE_ROWS", "32"))
+TABLE_VMEM_BUDGET = int(os.environ.get(
+    "RAYTRACE_TPU_MEGAKERNEL_TABLE_VMEM", str(4 * 1024 * 1024)))
+
+
+def _table_rows(spec: SceneSpec) -> int:
+    """Row count of the padded unified table (intersect._packed_tables'
+    pad rule: each type partition padded to a chunk multiple; an empty
+    partition still takes one chunk of masked rows)."""
+    from raytrace_tpu.ops import intersect_pallas as ip
+    from raytrace_tpu.scene.schema import SHAPE_SPHERE
+
+    ck = ip._OBJ_CHUNK
+    n_s = sum(1 for t in spec.shape_type if t == SHAPE_SPHERE)
+    n_p = sum(1 for t in spec.shape_type if t >= 0) - n_s
+    pad = lambda n: (-(-n // ck) * ck) if n else ck  # noqa: E731
+    return pad(n_s) + pad(n_p)
+
+
 def usable(data: SceneData, spec: SceneSpec) -> bool:
     """Whether this (data, spec) renders through the megakernel."""
     from raytrace_tpu.ops import intersect
@@ -126,11 +166,18 @@ def usable(data: SceneData, spec: SceneSpec) -> bool:
     # deferred-miss post-pass; skybox + fan-out falls back to the jnp
     # wavefront (per-node miss records would not fit the output budget)
     bg_ok = (spec.bg_type == BG_SOLID or spec.children_per_ray <= 1)
-    return ((spec.children_per_ray <= 1
-             or tree_nodes(spec) <= TREE_NODE_BUDGET
-             or _tree_loop_stack_bytes(spec) <= TREE_LOOP_VMEM_BUDGET)
-            and bg_ok
-            and n_live <= LARGE_SCENE_THRESHOLD
+    if n_live > LARGE_SCENE_THRESHOLD:
+        # large regime: VMEM-resident tables + in-kernel chunk fold
+        # (ops/intersect_inline.py).  Linear chains only for now: the
+        # tree regimes would multiply the fold's live set by the DFS
+        # stack and have no measured win yet.
+        size_ok = (spec.children_per_ray <= 1
+                   and _table_rows(spec) * 26 * 4 <= TABLE_VMEM_BUDGET)
+    else:
+        size_ok = (spec.children_per_ray <= 1
+                   or tree_nodes(spec) <= TREE_NODE_BUDGET
+                   or _tree_loop_stack_bytes(spec) <= TREE_LOOP_VMEM_BUDGET)
+    return (size_ok and bg_ok
             and jnp.dtype(data.prim_p.dtype) == jnp.float32)
 
 
@@ -153,23 +200,27 @@ class _Tab:
         return _Tab(v, self.dtype) if isinstance(v, list) else v
 
 
-def _leaf_shapes(data: SceneData):
+def _leaf_shapes(data: SceneData, large: bool = False):
     shapes = []
-    for name, _ in _LAYOUT:
+    for name, _ in _layout(large):
         shapes.append((name, tuple(np.shape(getattr(data, name)))))
     return tuple(shapes)
 
 
-def _pack_params(data: SceneData) -> jnp.ndarray:
+def _pack_params(data: SceneData, large: bool = False) -> jnp.ndarray:
     """Flatten the scalar scene leaves into one (1, K) f32 row."""
     parts = [jnp.ravel(getattr(data, name)).astype(jnp.float32)
-             for name, _ in _LAYOUT]
+             for name, _ in _layout(large)]
     return jnp.concatenate(parts)[None, :]
 
 
 def _unpack_params(params_ref, shapes, dtype):
     """Rebuild a SceneData-shaped namespace of scalar shims from the
-    packed SMEM row.  Every element is one scalar read."""
+    packed SMEM row.  Every element is one scalar read.  Leaves absent
+    from ``shapes`` (the per-object tables in the large regime) become
+    empty shims that still carry ``dtype`` but trap any indexing —
+    nothing may touch them, closest-hit being redirected to the VMEM
+    tables (intersect.set_inline_ctx)."""
     fields = {}
     k = 0
 
@@ -191,6 +242,8 @@ def _unpack_params(params_ref, shapes, dtype):
                              for j in range(shape[1])])
             fields[name] = _Tab(rows, dtype)
             k += shape[0] * shape[1]
+    for name, _ in _LAYOUT_OBJ:
+        fields.setdefault(name, _Tab([], dtype))
     fields["bg_cube"] = None  # unreachable for BG_SOLID scenes
     return SimpleNamespace(**fields)
 
@@ -225,41 +278,62 @@ def _radiance_fn(spec: SceneSpec):
     return radiance_tree_loop_v
 
 
-def _kernel(params_ref, sched_ref, pix_ref, piy_ref, aa_ref, cam_ref,
-            *outs, spec: SceneSpec, seed: int, shapes):
+def _kernel(params_ref, sched_ref, *rest, spec: SceneSpec, seed: int,
+            shapes, large_meta=None):
+    from raytrace_tpu.ops import intersect
     from raytrace_tpu.render.integrator import (primary_rays,
                                                 radiance_linear_v,
                                                 radiance_tree_loop_v)
 
+    if large_meta is not None:
+        from raytrace_tpu.ops.intersect_inline import InlineCtx
+        (tab_ref, mat_ref, ids_ref, rng_ref, bnd_ref,
+         pix_ref, piy_ref, aa_ref, cam_ref, *outs) = rest
+        ctx = InlineCtx(tab_ref, mat_ref, ids_ref, rng_ref, bnd_ref,
+                        **large_meta)
+    else:
+        pix_ref, piy_ref, aa_ref, cam_ref, *outs = rest
+        ctx = None
+
     out_x, out_y, out_z = outs[:3]
     data = _unpack_params(params_ref, shapes, jnp.float32)
-    ro, rd, k1, k2 = primary_rays(data, spec, pix_ref[...], piy_ref[...],
-                                  aa_ref[...], cam_ref[...], seed)
-    fn = _radiance_fn(spec)
-    if spec.bg_type != BG_SOLID:
-        # skybox: the per-lane bilinear gather cannot run on VMEM blocks
-        # (faces exceed VMEM; no per-lane gather in Mosaic), so the
-        # kernel defers background shading — miss events stream out and
-        # a fused jnp post-pass (radiance_lanes) adds tp * skybox(rd)
-        recs: list = []
-        rad = radiance_linear_v(data, spec, ro, rd, k1, k2,
-                                miss_records=recs)
-        for li, (miss, mrd, mtp) in enumerate(recs):
-            o = outs[3 + 7 * li: 3 + 7 * (li + 1)]
-            o[0][...] = jnp.where(miss, 1.0, 0.0).astype(jnp.float32)
-            o[1][...], o[2][...], o[3][...] = mrd.x, mrd.y, mrd.z
-            o[4][...], o[5][...], o[6][...] = mtp.x, mtp.y, mtp.z
-        out_x[...] = rad.x
-        out_y[...] = rad.y
-        out_z[...] = rad.z
-    elif fn is radiance_tree_loop_v:
-        _tree_loop_scratch(data, spec, ro, rd, k1, k2, sched_ref,
-                           out_x, out_y, out_z)
-    else:
-        rad = fn(data, spec, ro, rd, k1, k2)
-        out_x[...] = rad.x
-        out_y[...] = rad.y
-        out_z[...] = rad.z
+    # installing the inline ctx is a trace-time act: while the radiance
+    # chain below traces, every closest_hit / occluded_v folds over the
+    # VMEM table refs instead of the (absent) SMEM per-object scalars
+    prev = intersect.set_inline_ctx(ctx) if ctx is not None else None
+    try:
+        ro, rd, k1, k2 = primary_rays(data, spec, pix_ref[...],
+                                      piy_ref[...], aa_ref[...],
+                                      cam_ref[...], seed)
+        fn = _radiance_fn(spec)
+        if spec.bg_type != BG_SOLID:
+            # skybox: the per-lane bilinear gather cannot run on VMEM
+            # blocks (faces exceed VMEM; no per-lane gather in Mosaic),
+            # so the kernel defers background shading — miss events
+            # stream out and a fused jnp post-pass (radiance_lanes)
+            # adds tp * skybox(rd)
+            recs: list = []
+            rad = radiance_linear_v(data, spec, ro, rd, k1, k2,
+                                    miss_records=recs)
+            for li, (miss, mrd, mtp) in enumerate(recs):
+                o = outs[3 + 7 * li: 3 + 7 * (li + 1)]
+                o[0][...] = jnp.where(miss, 1.0, 0.0).astype(jnp.float32)
+                o[1][...], o[2][...], o[3][...] = mrd.x, mrd.y, mrd.z
+                o[4][...], o[5][...], o[6][...] = mtp.x, mtp.y, mtp.z
+            out_x[...] = rad.x
+            out_y[...] = rad.y
+            out_z[...] = rad.z
+        elif fn is radiance_tree_loop_v:
+            _tree_loop_scratch(data, spec, ro, rd, k1, k2, sched_ref,
+                               out_x, out_y, out_z)
+        else:
+            rad = fn(data, spec, ro, rd, k1, k2)
+            out_x[...] = rad.x
+            out_y[...] = rad.y
+            out_z[...] = rad.z
+    finally:
+        if ctx is not None:
+            intersect.set_inline_ctx(prev)
 
 
 def _tree_loop_scratch(data, spec, ro, rd, k1, k2, sched_ref,
@@ -380,7 +454,10 @@ def _radiance_lanes_fwd_kernel(data: SceneData, spec: SceneSpec, pix, piy,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    block_rows = (BLOCK_ROWS if spec.children_per_ray <= 1
+    n_live = sum(1 for t in spec.shape_type if t >= 0)
+    large = n_live > LARGE_SCENE_THRESHOLD
+    block_rows = (LARGE_BLOCK_ROWS if large
+                  else BLOCK_ROWS if spec.children_per_ray <= 1
                   else TREE_BLOCK_ROWS)
     n = pix.shape[0]
     rows = -(-n // LANE)
@@ -392,9 +469,42 @@ def _radiance_lanes_fwd_kernel(data: SceneData, spec: SceneSpec, pix, piy,
         a = jnp.concatenate([a, jnp.zeros(total - n, jnp.uint32)])
         return a.reshape(rows_pad, LANE)
 
-    params = _pack_params(data)
-    shapes = _leaf_shapes(data)
+    params = _pack_params(data, large)
+    shapes = _leaf_shapes(data, large)
     grid = (rows_pad // block_rows,)
+
+    # large regime: the primitive/material tables + chunk metadata ride
+    # as whole-array VMEM/SMEM inputs for the in-kernel fold
+    if large:
+        from raytrace_tpu.ops import intersect_inline as ii
+        from raytrace_tpu.ops import intersect_pallas as ip
+        from raytrace_tpu.ops.intersect import (_packed_tables,
+                                                packed_object_table)
+
+        table, n_sph_pad, idmap = _packed_tables(data, spec)
+        ck = ip._OBJ_CHUNK
+        n_chunks = table.shape[0] // ck
+        bounds = ip._chunk_bounds(table, n_sph_pad, n_chunks)
+        mat = packed_object_table(data, spec)
+        # row-aligned material table: row r = packed row of gid ids[r]
+        # (pad rows borrow object 0's row; never selected — ids -1)
+        mat_rows = jnp.take(mat, jnp.maximum(idmap, 0),
+                            axis=0).astype(jnp.float32)
+        large_inputs = [table.astype(jnp.float32), mat_rows,
+                        idmap.reshape(n_chunks, ck),
+                        ii.chunk_id_ranges(idmap, ck), bounds]
+        large_specs = [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        large_meta = dict(chunk=ck, n_sph_chunks=n_sph_pad // ck,
+                          n_chunks=n_chunks,
+                          cull=not _env_flag("RAYTRACE_TPU_NO_CULL"))
+    else:
+        large_inputs, large_specs, large_meta = [], [], None
 
     # DFS schedule for the stack-loop regime ((1, 1) dummy otherwise —
     # the kernel signature stays uniform)
@@ -428,13 +538,15 @@ def _radiance_lanes_fwd_kernel(data: SceneData, spec: SceneSpec, pix, piy,
     n_out = 3 + 7 * n_rec
 
     fn = pl.pallas_call(
-        partial(_kernel, spec=spec, seed=seed, shapes=shapes),
+        partial(_kernel, spec=spec, seed=seed, shapes=shapes,
+                large_meta=large_meta),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, params.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, sched.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
+            *large_specs,
             lane_spec, lane_spec, lane_spec, lane_spec,
         ],
         out_specs=(lane_spec,) * n_out,
@@ -442,8 +554,8 @@ def _radiance_lanes_fwd_kernel(data: SceneData, spec: SceneSpec, pix, piy,
         interpret=_env_flag("RAYTRACE_TPU_MEGAKERNEL_INTERPRET"),
         **({"compiler_params": compiler_params} if compiler_params else {}),
     )
-    ox, oy, oz, *rec = fn(params, sched, block(pix), block(piy), block(aa),
-                          block(cam))
+    ox, oy, oz, *rec = fn(params, sched, *large_inputs, block(pix),
+                          block(piy), block(aa), block(cam))
     unb = lambda a: a.reshape(-1)[:n]  # noqa: E731
     rad = V3(unb(ox), unb(oy), unb(oz))
     if n_rec:

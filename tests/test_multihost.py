@@ -1,0 +1,102 @@
+"""Real multi-process execution: a 2-process CPU cluster
+(``jax.distributed.initialize`` local) renders per-host row bands that
+stitch BIT-IDENTICALLY to the single-process render (SURVEY.md §5.8;
+VERDICT r3 missing #1's 'done' bar).
+
+Each worker subprocess (tests/multihost_worker.py) takes the CLI's own
+env bring-up path (RAYTRACE_TPU_COORDINATOR ->
+parallel.mesh.maybe_init_distributed), builds global arrays with
+``jax.make_array_from_process_local_data``, fetches only its
+addressable shards, and writes only its own BMP rows.
+"""
+
+import dataclasses
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from conftest import REPO_ROOT, reference_path
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_cluster_bit_identity(tmp_path):
+    worker = REPO_ROOT / "tests" / "multihost_worker.py"
+    coord = f"localhost:{_free_port()}"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS",
+                        "RAYTRACE_TPU_COORDINATOR",
+                        "RAYTRACE_TPU_NUM_PROCESSES",
+                        "RAYTRACE_TPU_PROCESS_ID")}
+    env["JAX_COMPILATION_CACHE_DIR"] = str(
+        REPO_ROOT / ".jax_cache_cpu")
+    # plain `python script.py` puts the script dir, not the cwd, on
+    # sys.path; and dropping the axon sitecustomize keeps the workers
+    # from ever touching the TPU tunnel
+    env["PYTHONPATH"] = str(REPO_ROOT)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coord, "2", str(pid),
+             str(tmp_path)],
+            cwd=str(REPO_ROOT), env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+
+    # stitch the bands
+    bands = {}
+    for pid in range(2):
+        z = np.load(tmp_path / f"band_{pid}.npz")
+        bands[int(z["row_lo"])] = (int(z["row_hi"]), z["band"])
+    rows = []
+    lo = 0
+    while lo < 8:
+        hi, band = bands[lo]
+        rows.append(band)
+        lo = hi
+    stitched = np.concatenate(rows, axis=0)
+    assert stitched.shape == (8, 8, 3)
+
+    # single-process reference render (this process, CPU mesh)
+    from raytrace_tpu.render.integrator import render_image
+    from raytrace_tpu.scene.builder import load_scene_file
+
+    sc = load_scene_file(str(reference_path("test_scene.txt")),
+                         dtype=jnp.float32)
+    sc = dataclasses.replace(
+        sc, spec=dataclasses.replace(sc.spec, width=8, height=8))
+    want = render_image(sc, seed=3, spp=2)
+
+    np.testing.assert_array_equal(stitched, want)
+
+    # and the jointly-written BMP equals the single-process encode
+    from raytrace_tpu import color as colorlib
+    from raytrace_tpu.io.bmp import read_bmp
+
+    got_bmp = read_bmp(str(tmp_path / "multi.bmp"))
+    want_srgb = np.asarray(colorlib.to_srgb(
+        jnp.asarray(np.clip(want, 0.0, None), jnp.float32)))
+    np.testing.assert_array_equal(got_bmp, want_srgb)
