@@ -206,7 +206,7 @@ def _route_children(children, m: int, tp: V3, k1, k2):
 
 
 def radiance_tree_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
-                    k1, k2, significance=None) -> V3:
+                    k1, k2, significance=None, miss_records=None) -> V3:
     """Radiance for fan-out scenes as a static DFS over the virtual
     child tree — the *shape-agnostic* counterpart of :func:`radiance_v`.
 
@@ -227,6 +227,15 @@ def radiance_tree_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
     :func:`radiance_v`; only the floating-point accumulation ORDER
     differs (DFS vs per-level block sums), so the two agree to roundoff
     rather than bit-for-bit.
+
+    ``miss_records``: when a list is passed, background shading is
+    DEFERRED exactly as in :func:`radiance_linear_v` — one
+    ``(miss, rd, tp)`` record per DFS node, ``tree_nodes(spec)`` in
+    total, appended in preorder.  The Pallas megakernel uses this for
+    skybox x fan-out scenes: a lane can miss at several nodes (one per
+    live subtree branch), so the per-node record set is the exact
+    bounded encoding of its background contributions — the post-pass
+    adds ``tp * skybox(rd)`` per record (raytrace.rs:234-256 parity).
     """
     dtype = ro.x.dtype
     sig = (jnp.ones_like(ro.x) if significance is None
@@ -238,8 +247,14 @@ def radiance_tree_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
         hit = closest_hit(data, spec, ro, rd)
         emit, children = shade(data, spec, ro, rd, hit, sig, live, k1, k2,
                                depth)
-        bg = background_color_v(data, spec, rd)
-        local = vec.where(hit.hit, emit, bg)
+        if miss_records is None:
+            bg = background_color_v(data, spec, rd)
+            local = vec.where(hit.hit, emit, bg)
+        else:
+            miss = live & ~hit.hit
+            miss_records.append((miss, rd, vec.where(
+                miss, tp, vec.full_like(sig, 0.0))))
+            local = vec.where(hit.hit, emit, vec.full_like(sig, 0.0))
         acc = vec.where(live, tp.mul(local), vec.full_like(sig, 0.0))
         if not children:
             return acc

@@ -67,9 +67,19 @@ BLOCK_ROWS = int(os.environ.get("RAYTRACE_TPU_MEGAKERNEL_ROWS", "64"))
 # fan-out (tree-walk) scenes hold each pending sibling's ray state live
 # across the DFS (~11 blocks x depth lanes of f32), so they take smaller
 # blocks to stay within VMEM (32 rows exceeds the 16M scoped-vmem stack
-# limit by 0.6M on v5e for a 63-node tree; 16 compiles and runs)
-TREE_BLOCK_ROWS = int(os.environ.get(
-    "RAYTRACE_TPU_MEGAKERNEL_TREE_ROWS", "16"))
+# limit by 0.6M on v5e for a 63-node tree; 16 compiles and runs).
+# None = derive from the detected TPU generation (utils/tpu_info —
+# v6e's doubled VMEM doubles the rows); env override wins.
+TREE_BLOCK_ROWS = (int(os.environ["RAYTRACE_TPU_MEGAKERNEL_TREE_ROWS"])
+                   if "RAYTRACE_TPU_MEGAKERNEL_TREE_ROWS" in os.environ
+                   else None)
+
+
+def _tree_block_rows() -> int:
+    if TREE_BLOCK_ROWS is not None:
+        return TREE_BLOCK_ROWS
+    from raytrace_tpu.utils.tpu_info import vmem_scale
+    return 16 * vmem_scale()
 
 # packed scalar layout: SceneData leaves that ride the SMEM row, in
 # declaration order.  bg_cube is excluded always (solid backgrounds
@@ -111,15 +121,24 @@ def _env_flag(name: str) -> bool:
 TREE_NODE_BUDGET = int(os.environ.get(
     "RAYTRACE_TPU_MEGAKERNEL_TREE_NODES", "63"))
 # stack-DFS VMEM budget: cap * 13 components * rows * 128 lanes * 4 B
-# must leave room for the shade live set in 16 MB of VMEM
-TREE_LOOP_VMEM_BUDGET = int(os.environ.get(
-    "RAYTRACE_TPU_MEGAKERNEL_LOOP_VMEM", str(6 * 1024 * 1024)))
+# must leave room for the shade live set.  None = 6/16 of the detected
+# per-core VMEM (= the measured 6 MiB on v5e's 16 MiB); env wins.
+TREE_LOOP_VMEM_BUDGET = (int(os.environ["RAYTRACE_TPU_MEGAKERNEL_LOOP_VMEM"])
+                         if "RAYTRACE_TPU_MEGAKERNEL_LOOP_VMEM" in os.environ
+                         else None)
+
+
+def _tree_loop_vmem_budget() -> int:
+    if TREE_LOOP_VMEM_BUDGET is not None:
+        return TREE_LOOP_VMEM_BUDGET
+    from raytrace_tpu.utils.tpu_info import vmem_bytes
+    return (vmem_bytes() * 6) // 16
 
 
 def _tree_loop_stack_bytes(spec: SceneSpec) -> int:
     from raytrace_tpu.render.integrator import tree_loop_stack
     _, _, _, cap = tree_loop_stack(spec)
-    return cap * 13 * TREE_BLOCK_ROWS * LANE * 4
+    return cap * 13 * _tree_block_rows() * LANE * 4
 
 
 # LARGE-scene regime: lane blocks per grid step (the in-kernel fold's
@@ -129,8 +148,16 @@ def _tree_loop_stack_bytes(spec: SceneSpec) -> int:
 # 4 MiB covers ~40k objects)
 LARGE_BLOCK_ROWS = int(os.environ.get(
     "RAYTRACE_TPU_MEGAKERNEL_LARGE_ROWS", "32"))
-TABLE_VMEM_BUDGET = int(os.environ.get(
-    "RAYTRACE_TPU_MEGAKERNEL_TABLE_VMEM", str(4 * 1024 * 1024)))
+TABLE_VMEM_BUDGET = (int(os.environ["RAYTRACE_TPU_MEGAKERNEL_TABLE_VMEM"])
+                     if "RAYTRACE_TPU_MEGAKERNEL_TABLE_VMEM" in os.environ
+                     else None)
+
+
+def _table_vmem_budget() -> int:
+    if TABLE_VMEM_BUDGET is not None:
+        return TABLE_VMEM_BUDGET
+    from raytrace_tpu.utils.tpu_info import vmem_bytes
+    return (vmem_bytes() * 4) // 16
 
 
 def _table_rows(spec: SceneSpec) -> int:
@@ -162,21 +189,26 @@ def usable(data: SceneData, spec: SceneSpec) -> bool:
     if not interpret and jax.default_backend() != "tpu":
         return False
     n_live = sum(1 for t in spec.shape_type if t >= 0)
-    # skybox runs fused for linear (fan-out <= 1) scenes via the
-    # deferred-miss post-pass; skybox + fan-out falls back to the jnp
-    # wavefront (per-node miss records would not fit the output budget)
-    bg_ok = (spec.bg_type == BG_SOLID or spec.children_per_ray <= 1)
+    # skybox runs fused via the deferred-miss post-pass: linear scenes
+    # emit one record per level; fan-out scenes run the STATIC tree DFS
+    # with one record per node (a lane can miss once per live subtree
+    # branch, so the per-node set is the exact bounded encoding) —
+    # which caps fused skybox fan-out at the static-tree budget; the
+    # stack-DFS loop regime falls back (per-node outputs would explode)
+    bg_ok = (spec.bg_type == BG_SOLID or spec.children_per_ray <= 1
+             or tree_nodes(spec) <= TREE_NODE_BUDGET)
     if n_live > LARGE_SCENE_THRESHOLD:
         # large regime: VMEM-resident tables + in-kernel chunk fold
         # (ops/intersect_inline.py).  Linear chains only for now: the
         # tree regimes would multiply the fold's live set by the DFS
         # stack and have no measured win yet.
         size_ok = (spec.children_per_ray <= 1
-                   and _table_rows(spec) * 26 * 4 <= TABLE_VMEM_BUDGET)
+                   and _table_rows(spec) * 26 * 4 <= _table_vmem_budget())
     else:
         size_ok = (spec.children_per_ray <= 1
                    or tree_nodes(spec) <= TREE_NODE_BUDGET
-                   or _tree_loop_stack_bytes(spec) <= TREE_LOOP_VMEM_BUDGET)
+                   or _tree_loop_stack_bytes(spec)
+                   <= _tree_loop_vmem_budget())
     return (size_ok and bg_ok
             and jnp.dtype(data.prim_p.dtype) == jnp.float32)
 
@@ -249,16 +281,22 @@ def _unpack_params(params_ref, shapes, dtype):
 
 
 def _n_miss_records(spec: SceneSpec) -> int:
-    """Miss records the linear chain emits for a skybox scene — must
-    equal the records radiance_linear_v actually appends, because every
-    declared kernel output MUST be written: a pure-diffuse scene
+    """Miss records the radiance chain emits for a skybox scene — must
+    equal the records it actually appends, because every declared
+    kernel output MUST be written: a pure-diffuse scene
     (children_per_ray == 0) breaks after level 0 with ONE record, and
     sizing outputs to max_depth + 2 would leave the rest unwritten —
     undefined memory on real TPU that the post-pass would read as
     garbage miss masks (caught by review; test_skybox_no_fanout_parity).
+    Fan-out scenes run the static DFS, which appends one record per
+    tree node (preorder, radiance_tree_v).
     """
+    from raytrace_tpu.render.integrator import tree_nodes
+
     if spec.bg_type == BG_SOLID:
         return 0
+    if spec.children_per_ray > 1:
+        return tree_nodes(spec)
     return 1 if spec.children_per_ray == 0 else spec.max_depth + 2
 
 
@@ -310,11 +348,12 @@ def _kernel(params_ref, sched_ref, *rest, spec: SceneSpec, seed: int,
             # skybox: the per-lane bilinear gather cannot run on VMEM
             # blocks (faces exceed VMEM; no per-lane gather in Mosaic),
             # so the kernel defers background shading — miss events
-            # stream out and a fused jnp post-pass (radiance_lanes)
-            # adds tp * skybox(rd)
+            # stream out (per level for the linear chain, per node for
+            # the static tree DFS) and a fused jnp post-pass
+            # (radiance_lanes) adds tp * skybox(rd)
+            assert fn is not radiance_tree_loop_v  # usable() gates this
             recs: list = []
-            rad = radiance_linear_v(data, spec, ro, rd, k1, k2,
-                                    miss_records=recs)
+            rad = fn(data, spec, ro, rd, k1, k2, miss_records=recs)
             for li, (miss, mrd, mtp) in enumerate(recs):
                 o = outs[3 + 7 * li: 3 + 7 * (li + 1)]
                 o[0][...] = jnp.where(miss, 1.0, 0.0).astype(jnp.float32)
@@ -458,7 +497,7 @@ def _radiance_lanes_fwd_kernel(data: SceneData, spec: SceneSpec, pix, piy,
     large = n_live > LARGE_SCENE_THRESHOLD
     block_rows = (LARGE_BLOCK_ROWS if large
                   else BLOCK_ROWS if spec.children_per_ray <= 1
-                  else TREE_BLOCK_ROWS)
+                  else _tree_block_rows())
     n = pix.shape[0]
     rows = -(-n // LANE)
     rows_pad = -(-rows // block_rows) * block_rows

@@ -307,3 +307,74 @@ def test_skybox_no_fanout_parity(interpret_env):
         close = np.isclose(g, w, rtol=1e-5, atol=1e-6)
         assert close.mean() > 0.97, f"only {close.mean():.3f} lanes match"
     assert float(np.max(np.asarray(got.x))) > 0.0
+
+
+def test_skybox_fanout_parity(interpret_env):
+    """Skybox x FAN-OUT through the fused kernel (VERDICT r3 missing
+    #3): the static tree DFS defers one miss record per node
+    (tree_nodes total) and the post-pass adds tp * skybox(rd) per
+    record.  Transparent scene at depth 2 => 15-node tree, reflect +
+    refract misses hit different skybox faces per branch."""
+    import dataclasses
+
+    from raytrace_tpu.render.integrator import radiance_v, tree_nodes
+    from raytrace_tpu.render.megakernel import _n_miss_records
+    from raytrace_tpu.scene import dsl
+    from raytrace_tpu.scene.builder import build_scene
+    from raytrace_tpu.scene.schema import BG_SKYBOX
+
+    src = MIRROR_SCENE.replace(
+        """material: PhongMaterial { diffuse: rgb(0.8,0.3,0.2)
+        specular: rgb(0.4,0.4,0.4) exponent: 16 ambient: rgb(0,0,0) } }""",
+        """material: TransparentMaterial { specular: rgb(0.9,0.9,0.9)
+        exponent: 8 ior: 1.5 } }""")
+    sc = build_scene(dsl.parse(src), dtype=jnp.float32)
+    rng = np.random.RandomState(11)
+    sizes = ((3, 5), (4, 4), (2, 2), (4, 3), (3, 3), (5, 5))
+    hmax = max(s[0] for s in sizes)
+    wmax = max(s[1] for s in sizes)
+    cube = np.zeros((6, hmax, wmax, 3), np.float32)
+    for i, (h, w) in enumerate(sizes):
+        cube[i, :h, :w] = rng.rand(h, w, 3)
+    sc = dataclasses.replace(
+        sc,
+        data=dataclasses.replace(sc.data, bg_cube=jnp.asarray(cube)),
+        spec=dataclasses.replace(sc.spec, bg_type=BG_SKYBOX,
+                                 face_sizes=sizes, max_depth=2))
+    spec = sc.spec
+    assert spec.children_per_ray == 2
+    assert _n_miss_records(spec) == tree_nodes(spec) == 15
+    assert megakernel.usable(sc.data, spec)
+    pix, piy, aas, cam = _lanes(400, spec.width, spec.height, aa=2)
+
+    got = megakernel.radiance_lanes(sc.data, spec, pix, piy, aas, cam, 6)
+    ro, rd, k1, k2 = primary_rays(sc.data, spec, pix, piy, aas, cam, 6)
+    want = radiance_v(sc.data, spec, ro, rd, k1, k2)
+    for g, w in zip(got, want):
+        g, w = np.asarray(g), np.asarray(w)
+        close = np.isclose(g, w, rtol=1e-4, atol=1e-5)
+        assert close.mean() > 0.97, f"only {close.mean():.3f} lanes match"
+    # secondary-branch (depth > 0) skybox contributions are real: some
+    # lane must HIT at the root yet still pick up background radiance
+    from raytrace_tpu.ops.intersect import closest_hit
+    root_hit = np.asarray(closest_hit(sc.data, spec, ro, rd).hit)
+    assert (np.asarray(got.x)[root_hit] > 0).any()
+
+
+def test_generation_aware_sizing(monkeypatch):
+    """Kernel block geometry derives from the detected per-core VMEM
+    (utils/tpu_info): a 32 MiB generation (v6e) doubles the tree rows
+    and budgets; env overrides still win (VERDICT r3 weak #4)."""
+    from raytrace_tpu.utils import tpu_info
+
+    monkeypatch.setattr(tpu_info, "vmem_bytes", lambda: 32 << 20)
+    monkeypatch.setattr(tpu_info, "vmem_scale", lambda: 2)
+    monkeypatch.setattr(megakernel, "TREE_BLOCK_ROWS", None)
+    monkeypatch.setattr(megakernel, "TREE_LOOP_VMEM_BUDGET", None)
+    monkeypatch.setattr(megakernel, "TABLE_VMEM_BUDGET", None)
+    assert megakernel._tree_block_rows() == 32
+    assert megakernel._tree_loop_vmem_budget() == 12 << 20
+    assert megakernel._table_vmem_budget() == 8 << 20
+    # env override beats detection
+    monkeypatch.setattr(megakernel, "TREE_BLOCK_ROWS", 8)
+    assert megakernel._tree_block_rows() == 8

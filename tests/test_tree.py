@@ -149,3 +149,44 @@ def test_tree_loop_stack_closed_form():
             n_nodes = levels if m == 1 else (m ** levels - 1) // (m - 1)
             assert len(depths) == n_nodes, (m, levels)
             assert cap == 1 + (levels - 1) * (m - 1), (m, levels, cap)
+
+
+@pytest.mark.slow
+def test_megakernel_showcase_skybox_parity(monkeypatch):
+    """The VERDICT r3 #3 'done' bar: materials_showcase (63-node static
+    tree, all four materials, DoF) with a synthetic SKYBOX renders
+    through the fused kernel (one deferred miss record per tree node)
+    with oracle parity vs the jnp tree walk.  Slow tier: interpret-mode
+    evaluation of 63 node visits x 2 paths."""
+    import dataclasses
+
+    from raytrace_tpu.scene.schema import BG_SKYBOX
+
+    monkeypatch.setenv("RAYTRACE_TPU_MEGAKERNEL_INTERPRET", "1")
+    sc = load_scene_file(SHOWCASE, dtype=jnp.float32)
+    rng = np.random.RandomState(13)
+    sizes = ((3, 5), (4, 4), (2, 2), (4, 3), (3, 3), (5, 5))
+    hmax = max(s[0] for s in sizes)
+    wmax = max(s[1] for s in sizes)
+    cube = np.zeros((6, hmax, wmax, 3), np.float32)
+    for i, (h, w) in enumerate(sizes):
+        cube[i, :h, :w] = rng.rand(h, w, 3)
+    sc = dataclasses.replace(
+        sc,
+        data=dataclasses.replace(sc.data, bg_cube=jnp.asarray(cube)),
+        spec=dataclasses.replace(sc.spec, bg_type=BG_SKYBOX,
+                                 face_sizes=sizes))
+    from raytrace_tpu.render.megakernel import _n_miss_records
+    assert _n_miss_records(sc.spec) == tree_nodes(sc.spec) == 63
+    assert megakernel.usable(sc.data, sc.spec)
+    pix, piy, aa, cam = _lanes(sc.spec, 96)
+    got = megakernel.radiance_lanes(sc.data, sc.spec, pix, piy, aa, cam,
+                                    seed=3)
+    ro, rd, k1, k2 = primary_rays(sc.data, sc.spec, pix, piy, aa, cam, 3)
+    want = radiance_tree_v(sc.data, sc.spec, ro, rd, k1, k2)
+    for g, w in zip(got, want):
+        g, w = np.asarray(g), np.asarray(w)
+        close = np.isclose(g, w, rtol=1e-5, atol=1e-6)
+        assert close.mean() > 0.95, f"only {close.mean():.3f} lanes match"
+        np.testing.assert_allclose(g.mean(), w.mean(), rtol=0.05)
+    assert float(np.max(np.asarray(got.x))) > 0.0
