@@ -109,9 +109,11 @@ def render_rows_multihost(scene: Scene, *, seed: int = 0,
 
     # per-device lane budget -> (samples, pixels) per launch; the
     # in-jit chunk loop accumulates on device (integrator._render_chunks)
-    s_launch, _ = _s_p_launch(spec, aa, max_lanes,
-                              _lane_width(data, spec))
-    p_local = max((n_tot // n_dev), 1)
+    # and itself tiles its shard into p_local-pixel launches, so the
+    # per-device pixel tile must respect the budget too
+    s_launch, p_budget = _s_p_launch(spec, aa, max_lanes,
+                                     _lane_width(data, spec))
+    p_local = max(min(n_tot // n_dev, p_budget), 1)
 
     @partial(jax.jit, static_argnames=("s_launch", "n_chunks"))
     def launch(data, px, py, s0, s_launch, n_chunks):

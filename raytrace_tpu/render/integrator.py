@@ -150,6 +150,57 @@ def radiance_linear_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
     return acc
 
 
+def radiance_linear_loop_v(data: SceneData, spec: SceneSpec, ro: V3,
+                           rd: V3, k1, k2, significance=None) -> V3:
+    """:func:`radiance_linear_v` as a ``lax.fori_loop`` over levels —
+    O(1) program size in ``max_depth`` (the linear twin of
+    :func:`radiance_tree_loop_v`).
+
+    The unrolled chain inlines one closest-hit + shade round per level;
+    for the megakernel's LARGE-scene regime that multiplies the already
+    sizeable in-kernel table fold (ops/intersect_inline.py) by
+    ``max_depth + 2`` program copies, which Mosaic compiles painfully.
+    Here ONE traced level body runs under a ``fori_loop``: ``shade``
+    takes the depth as a traced scalar (the stack-DFS loop's mechanism,
+    raytrace.rs:33 cutoff as ``lax.cond``), and the single child slot's
+    RNG derivation uses the same static slot id every level, so every
+    draw keeps the exact stream identity of the unrolled chain — the
+    two forms agree to FMA-contraction roundoff.
+
+    Solid backgrounds only (deferred skybox miss records are per-level
+    *outputs*, which the loop form cannot statically address); linear
+    scenes only (``children_per_ray <= 1``).
+    """
+    assert spec.children_per_ray <= 1
+    dtype = ro.x.dtype
+    levels = (spec.max_depth + 2 if spec.children_per_ray == 1 else 1)
+    sig = (jnp.ones_like(ro.x) if significance is None
+           else jnp.broadcast_to(significance, ro.x.shape).astype(dtype))
+    live = jnp.ones(ro.x.shape, bool)
+    tp = vec.full_like(sig, 1.0)
+    acc = vec.full_like(sig, 0.0)
+
+    def body(d, carry):
+        ro, rd, sig, live, tp, k1, k2, acc = carry
+        hit = closest_hit(data, spec, ro, rd)
+        emit, children = shade(data, spec, ro, rd, hit, sig, live, k1,
+                               k2, d)
+        bg = background_color_v(data, spec, rd)
+        local = vec.where(hit.hit, emit, bg)
+        acc = acc + vec.where(live, tp.mul(local), vec.full_like(sig, 0.0))
+        if children:
+            c = children[0]
+            ro, rd, sig, live = c.ro, c.rd, c.sig, c.live
+            tp = tp.mul(c.weight)
+            tp = vec.where(live, tp, vec.full_like(sig, 0.0))
+            k1, k2 = rng.derive(k1, k2, c.slot)
+        return (ro, rd, sig, live, tp, k1, k2, acc)
+
+    carry = jax.lax.fori_loop(
+        0, levels, body, (ro, rd, sig, live, tp, k1, k2, acc))
+    return carry[-1]
+
+
 def _route_children(children, m: int, tp: V3, k1, k2):
     """b child slots -> m virtual children, routed per lane in registers.
 

@@ -320,6 +320,7 @@ def _kernel(params_ref, sched_ref, *rest, spec: SceneSpec, seed: int,
             shapes, large_meta=None):
     from raytrace_tpu.ops import intersect
     from raytrace_tpu.render.integrator import (primary_rays,
+                                                radiance_linear_loop_v,
                                                 radiance_linear_v,
                                                 radiance_tree_loop_v)
 
@@ -366,6 +367,12 @@ def _kernel(params_ref, sched_ref, *rest, spec: SceneSpec, seed: int,
             _tree_loop_scratch(data, spec, ro, rd, k1, k2, sched_ref,
                                out_x, out_y, out_z)
         else:
+            if ctx is not None and spec.children_per_ray <= 1:
+                # large regime: one traced level body (fori_loop)
+                # instead of max_depth+2 inlined copies of the table
+                # fold — O(1) program size keeps the Mosaic compile
+                # tractable
+                fn = radiance_linear_loop_v
             rad = fn(data, spec, ro, rd, k1, k2)
             out_x[...] = rad.x
             out_y[...] = rad.y
