@@ -345,7 +345,7 @@ def test_skybox_fanout_parity(interpret_env):
     assert spec.children_per_ray == 2
     assert _n_miss_records(spec) == tree_nodes(spec) == 15
     assert megakernel.usable(sc.data, spec)
-    pix, piy, aas, cam = _lanes(400, spec.width, spec.height, aa=2)
+    pix, piy, aas, cam = _lanes(200, spec.width, spec.height, aa=2)
 
     got = megakernel.radiance_lanes(sc.data, spec, pix, piy, aas, cam, 6)
     ro, rd, k1, k2 = primary_rays(sc.data, spec, pix, piy, aas, cam, 6)

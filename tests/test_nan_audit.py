@@ -48,8 +48,14 @@ def test_forward_and_grad_nan_free(debug_nans, scene_file):
     # depth 2 keeps the eager op-by-op debug_nans run fast while still
     # covering every NaN-prone path (TIR sqrt, Schlick pow, hemisphere
     # normalize, zero-rd dead lanes — all reachable at depth <= 2; both
-    # historical gradient NaNs fired at depth 0)
-    spec = dataclasses.replace(sc.spec, width=8, height=8, max_depth=2)
+    # historical gradient NaNs fired at depth 0).  The showcase's
+    # fan-out tree grows 2^depth nodes and debug_nans re-executes every
+    # primitive eagerly, so the all-materials scene audits at depth 1 —
+    # still covering every per-material op plus dead/zero-rd child
+    # lanes (spawned at depth 0, shaded at depth 1) at 1/4 the ops.
+    depth = 1 if "showcase" in scene_file else 2
+    spec = dataclasses.replace(sc.spec, width=8, height=8,
+                               max_depth=depth)
     px = jnp.arange(8, dtype=jnp.uint32)
     py = jnp.arange(8, dtype=jnp.uint32) % spec.height
     sids = jnp.arange(2, dtype=jnp.uint32)

@@ -93,9 +93,14 @@ def test_render_image_ring_materials_and_lights():
     from raytrace_tpu.scene.builder import build_scene
 
     # a small mixed scene with a light (shadow rays) — ring path is
-    # forced regardless of object count by the installed context
+    # forced regardless of object count by the installed context.
+    # depth 2 keeps the fan-out wavefront 4x smaller than the default
+    # depth-4 tree; the ring closest-hit/occluded code is depth-blind.
+    import dataclasses
     sc = make_sphere_field(70, width=6, height=6, antialias=1,
                            mix_materials=True, dtype=jnp.float32)
+    sc = dataclasses.replace(
+        sc, spec=dataclasses.replace(sc.spec, max_depth=2))
     dense = render_image(sc, seed=5, spp=1)
     ring = render_image_ring(sc, seed=5, spp=1, mesh=make_mesh())
     np.testing.assert_array_equal(np.asarray(ring), np.asarray(dense))
