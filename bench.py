@@ -96,6 +96,10 @@ def main(argv=None):
     ap.add_argument("--lanes", type=int, default=None,
                     help="lanes per device per launch (default: 2M on "
                          "TPU, 64k elsewhere)")
+    ap.add_argument("--large", type=int, default=None, metavar="N",
+                    help="bench an N-sphere procedural field instead of "
+                         "the golden scene: fused (VMEM-table megakernel)"
+                         " vs split (scan kernel + jnp wavefront) regime")
     args = ap.parse_args(argv)
 
     import jax
@@ -140,6 +144,48 @@ def main(argv=None):
         # carry init derives from px so it inherits px's vma (inside
         # shard_map a replicated 0.0 would mismatch the varying carry)
         return jax.lax.fori_loop(0, k, body, (px[0] * 0).astype(jnp.float32))
+
+    if args.large:
+        # ---- large-scene regime: fused vs split (VERDICT r4 #1) ----
+        from raytrace_tpu.render import megakernel
+        from raytrace_tpu.scene.procedural import make_sphere_field
+
+        sc_l = make_sphere_field(args.large, mix_materials=False)
+        data_l, spec_l = sc_l.data, sc_l.spec
+        n_obj = sum(1 for t in spec_l.shape_type if t >= 0)
+        levels_l = spec_l.max_depth + 2
+
+        def chain_large(px, py, k):
+            def body(i, acc):
+                o = sample_pixels(data_l, spec_l, (px + i) % spec_l.width,
+                                  py, sids, 0)
+                return acc + jnp.sum(o)
+            return jax.lax.fori_loop(
+                0, k, body, (px[0] * 0).astype(jnp.float32))
+
+        assert megakernel.usable(data_l, spec_l), "fused regime not active"
+        fused = jax.jit(chain_large, static_argnames=("k",))
+        t_fused, _, _ = _measure_slope(fused, px, py)
+        os.environ["RAYTRACE_TPU_NO_MEGAKERNEL"] = "1"
+        try:
+            split = jax.jit(lambda px, py, k: chain_large(px, py, k),
+                            static_argnames=("k",))
+            t_split, _, _ = _measure_slope(split, px, py)
+        finally:
+            del os.environ["RAYTRACE_TPU_NO_MEGAKERNEL"]
+        primary = n_pix * n_s * spec_l.cam_samples
+        print(json.dumps({
+            "metric": f"large_scene_fused_vs_split_{n_obj}obj",
+            "value": round(primary * levels_l / t_fused),
+            "unit": "rays/s",
+            "vs_baseline": round(t_split / t_fused, 3),
+            "fused_launch_ms": round(t_fused * 1e3, 3),
+            "split_launch_ms": round(t_split * 1e3, 3),
+            "speedup_fused_over_split": round(t_split / t_fused, 3),
+            "obj_tests_per_sec_fused": round(
+                primary * levels_l * n_obj / t_fused),
+        }))
+        return 0
 
     chain = jax.jit(chain_body, static_argnames=("k",))
     per_launch, overhead, _ = _measure_slope(chain, px, py)

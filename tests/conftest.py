@@ -24,6 +24,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # f64 available for parity tests
 
+# Timing record (r4, this machine: 2 CPUs): fast tier
+# (-m "not slow") = 120 tests, COLD (.jax_cache_cpu removed) 11:19
+# wall with `-n 2` (pytest-xdist; user time 19:26 — the suite is
+# CPU-bound and fully parallel, so more cores cut wall-clock
+# proportionally); warm cache ~10:50 single-process, ~6 min with -n 2.
+# The dominant costs are interpret-mode Pallas parity tests and
+# shard_map AD compiles; heavy tests run at reduced max_depth (the
+# code under test is depth-blind) — see the r4 trim commit.
+#
 # CPU wavefront programs take seconds-to-minutes to compile; cache them
 # across runs (keyed on jaxpr, so source edits invalidate precisely)
 from raytrace_tpu.utils.cache import enable_compile_cache  # noqa: E402

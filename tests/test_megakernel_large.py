@@ -156,3 +156,28 @@ def test_large_grad_matches_jnp(interpret_env, monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
     assert float(jnp.max(jnp.abs(g_fused.prim_p))) > 0
+
+
+def test_large_skybox_parity(interpret_env, monkeypatch):
+    """Large (>64 objects) + skybox linear: the in-kernel table fold
+    composes with the deferred-miss post-pass (unrolled chain — the
+    loop form cannot statically address per-level record outputs)."""
+    import dataclasses
+
+    from raytrace_tpu.scene.schema import BG_SKYBOX
+
+    sc = _shallow(make_sphere_field(80, mix_materials=False), 1)
+    rng = np.random.RandomState(21)
+    cube = rng.rand(6, 4, 4, 3).astype(np.float32)
+    sc = dataclasses.replace(
+        sc,
+        data=dataclasses.replace(sc.data, bg_cube=jnp.asarray(cube)),
+        spec=dataclasses.replace(sc.spec, bg_type=BG_SKYBOX,
+                                 face_sizes=((4, 4),) * 6))
+    assert megakernel.usable(sc.data, sc.spec)
+    got = _render_lanes(sc, n_pix=48)
+    monkeypatch.setenv("RAYTRACE_TPU_NO_MEGAKERNEL", "1")
+    want = _render_lanes(sc, n_pix=48)
+    close = np.isclose(got, want, rtol=1e-5, atol=1e-6)
+    assert close.mean() > 0.95, f"lane agreement {close.mean():.3f}"
+    assert abs(got.mean() - want.mean()) < 0.02 * (abs(want.mean()) + 1)
