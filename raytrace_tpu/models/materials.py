@@ -60,7 +60,8 @@ from raytrace_tpu.ops import rng
 from raytrace_tpu.ops import vec
 from raytrace_tpu.ops.intersect import HitRec, occluded_v
 from raytrace_tpu.ops.vec import V3, dot
-from raytrace_tpu.scene.schema import SceneData, SceneSpec
+from raytrace_tpu.scene.schema import (MAT_FRESNEL, MAT_TRANSPARENT,
+                                       SceneData, SceneSpec)
 from raytrace_tpu.utils.profiling import annotate
 
 _OFFSET = 1e-5  # secondary-ray origin offset (raytrace.rs:43,62,108,211,220)
@@ -115,40 +116,57 @@ def shade(data: SceneData, spec: SceneSpec, ro: V3, rd: V3, hit: HitRec,
     n_f = vec.where(flip, -hit.normal, hit.normal)
 
     # ---- fresnel / refraction block (raytrace.rs:128-136, 174-192) ----
-    r0 = ((ior - 1.0) / (ior + 1.0)) ** 2
-    # Transparent: Snell + TIR
-    ior_safe = jnp.where(ior != 0, ior, 1.0)   # ior=0 -> no refraction
-    n_ratio = jnp.where(nd > 0, ior, 1.0 / ior_safe)
-    sin2 = n_ratio * n_ratio * (1.0 - nd * nd)
-    refract_ok = (sin2 < 1.0) & (ior != 0)
-    # double-where: sqrt'(0) = inf, so TIR lanes must see a safe inner
-    # argument (1.0), not just a masked output — otherwise the backward
-    # pass forms inf * 0 = NaN (caught by tests/test_nan_audit.py)
-    cos_t = jnp.where(
-        refract_ok,
-        jnp.sqrt(_clamp0(jnp.where(refract_ok, 1.0 - sin2, 1.0))), 0.0)
-    # mask n_ratio on TIR lanes so ``refr`` stays finite there — its
-    # value is never selected, but an inf/NaN would poison cotangents
-    # through the masked branches (the where-NaN gradient trap)
-    n_r = jnp.where(refract_ok, n_ratio, 0.0)
-    refr = rd.scale(n_r) - n_f.scale(n_r * jnp.abs(nd) + cos_t)
-    omcos_transp = jnp.where(
-        nd > 0,
-        jnp.where(refract_ok, 1.0 - dot(n_f, refr), 0.0),
-        1.0 - jnp.abs(nd))
-    omcos = jnp.where(is_fresnel, 1.0 - jnp.abs(nd), omcos_transp)
-    omcos2 = omcos * omcos
-    schlick = _clamp1(r0 + (1.0 - r0) * omcos2 * omcos2 * omcos)
-    fresnel = jnp.where(is_transp & ~refract_ok, 1.0, schlick)
-    fres_mult = jnp.where(is_fresnel | is_transp, fresnel,
-                          jnp.ones_like(fresnel))
+    # Statically skipped when the scene has no Fresnel/Transparent
+    # materials (spec.mat_type is compile-time): ~40 elementwise ops per
+    # shade round that contribute exactly fres_mult == 1 otherwise —
+    # e.g. the golden scene (Phong + IndirectPhong only) saves them in
+    # every one of its 6 level rounds.  ``fres_mult = None`` encodes the
+    # static 1.0 (helpers below elide the multiply entirely).
+    has_ft = any(t in (MAT_FRESNEL, MAT_TRANSPARENT) for t in spec.mat_type)
+    if has_ft:
+        r0 = ((ior - 1.0) / (ior + 1.0)) ** 2
+        # Transparent: Snell + TIR
+        ior_safe = jnp.where(ior != 0, ior, 1.0)  # ior=0 -> no refraction
+        n_ratio = jnp.where(nd > 0, ior, 1.0 / ior_safe)
+        sin2 = n_ratio * n_ratio * (1.0 - nd * nd)
+        refract_ok = (sin2 < 1.0) & (ior != 0)
+        # double-where: sqrt'(0) = inf, so TIR lanes must see a safe
+        # inner argument (1.0), not just a masked output — otherwise the
+        # backward pass forms inf * 0 = NaN (tests/test_nan_audit.py)
+        cos_t = jnp.where(
+            refract_ok,
+            jnp.sqrt(_clamp0(jnp.where(refract_ok, 1.0 - sin2, 1.0))), 0.0)
+        # mask n_ratio on TIR lanes so ``refr`` stays finite there — its
+        # value is never selected, but an inf/NaN would poison cotangents
+        # through the masked branches (the where-NaN gradient trap)
+        n_r = jnp.where(refract_ok, n_ratio, 0.0)
+        refr = rd.scale(n_r) - n_f.scale(n_r * jnp.abs(nd) + cos_t)
+        omcos_transp = jnp.where(
+            nd > 0,
+            jnp.where(refract_ok, 1.0 - dot(n_f, refr), 0.0),
+            1.0 - jnp.abs(nd))
+        omcos = jnp.where(is_fresnel, 1.0 - jnp.abs(nd), omcos_transp)
+        omcos2 = omcos * omcos
+        schlick = _clamp1(r0 + (1.0 - r0) * omcos2 * omcos2 * omcos)
+        fresnel = jnp.where(is_transp & ~refract_ok, 1.0, schlick)
+        fres_mult = jnp.where(is_fresnel | is_transp, fresnel,
+                              jnp.ones_like(fresnel))
+    else:
+        fresnel = refract_ok = refr = None  # refract slot needs has_ft
+        fres_mult = None                    # statically 1.0
+
+    def _fm(x):
+        """``x * fres_mult`` with the static-1.0 multiply elided."""
+        return x if fres_mult is None else x * fres_mult
 
     # ---- significance gates ----
     diff_sig = diffuse.x + diffuse.y + diffuse.z
     spec_sig = specular.x + specular.y + specular.z
     ms = spec.min_significance
-    diffuse_gate = (diff_sig * sig > ms) & ~is_transp
-    spec_gate = spec_sig * fres_mult * sig > ms
+    diffuse_gate = diff_sig * sig > ms
+    if has_ft:
+        diffuse_gate = diffuse_gate & ~is_transp
+    spec_gate = _fm(spec_sig) * sig > ms
 
     emit = ambient  # Transparent's ambient is all-zero by construction
 
@@ -179,7 +197,7 @@ def shade(data: SceneData, spec: SceneSpec, ro: V3, rd: V3, hit: HitRec,
             half = vec.safe_normalize(ldir - rd)
             ph = _clamp0(dot(n_f, half)) ** exponent
             smask = vis & spec_gate
-            ws = jnp.where(smask, ph * fres_mult, 0.0)
+            ws = jnp.where(smask, _fm(ph), 0.0)
             emit = V3(emit.x + specular.x * lr * ws,
                       emit.y + specular.y * lg * ws,
                       emit.z + specular.z * lb * ws)
@@ -203,11 +221,14 @@ def shade(data: SceneData, spec: SceneSpec, ro: V3, rd: V3, hit: HitRec,
         gate = can_spawn & spec_gate & ~is_indirect
         children.append(Child(
             ro=pt + rdir.scale(_OFFSET), rd=rdir,
-            sig=sig * spec_sig * fres_mult,
-            weight=specular.scale(fres_mult),
+            sig=(sig * spec_sig if fres_mult is None
+                 else sig * spec_sig * fres_mult),
+            weight=(specular if fres_mult is None
+                    else specular.scale(fres_mult)),
             live=gate, slot=slot))
         slot += 1
     if spec.has_refract:
+        assert has_ft  # has_refract => a Transparent material is present
         gate = can_spawn & is_transp & (fresnel < 1.0) & refract_ok
         omf = _clamp1(1.0 - fresnel)
         rdir = vec.safe_normalize(refr)

@@ -67,9 +67,15 @@ _ID_SENTINEL = np.int32(2 ** 31 - 1)
 
 
 def _fold_chunk(ctx: InlineCtx, c, carry, body):
-    """Fold one chunk's CK rows into the running (t_best, obj, hit) —
-    the exact update of intersect_pallas._kernel.fold."""
-    t_b, ob, h = carry
+    """Fold one chunk's CK rows into the running (t_best, obj) —
+    the exact update of intersect_pallas._kernel.fold.
+
+    The carry holds no ``hit`` mask: Mosaic cannot legalize i1 vector
+    loop-carries (``scf.for`` over ``vector<8x128xi1>`` fails to
+    lower — observed on v5e), and the mask is redundant anyway — any
+    valid hit has ``t_i < inf`` = the initial ``t_b``, so ``better``
+    fires at least once and ``ob != _ID_SENTINEL  <=>  hit``."""
+    t_b, ob = carry
     rows = ctx.tab_ref[pl.ds(c * ctx.chunk, ctx.chunk), :]
     for k in range(ctx.chunk):
         t_i, v_i = body(rows, k)
@@ -78,8 +84,7 @@ def _fold_chunk(ctx: InlineCtx, c, carry, body):
         better = (t_i < t_b) | ((t_i == t_b) & v_i & (gid < ob))
         t_b = jnp.where(better, t_i, t_b)
         ob = jnp.where(better, gid, ob)
-        h = h | v_i
-    return t_b, ob, h
+    return t_b, ob
 
 
 def inline_fold(ctx: InlineCtx, ro: V3, rd: V3):
@@ -90,8 +95,7 @@ def inline_fold(ctx: InlineCtx, ro: V3, rd: V3):
     inv2a = 0.5 / jnp.where(a > 0, a, 1.0)   # zero-rd-safe
     shape = ro.x.shape
     init = (jnp.full(shape, jnp.inf, ro.x.dtype),
-            jnp.full(shape, _ID_SENTINEL, jnp.int32),
-            jnp.zeros(shape, bool))
+            jnp.full(shape, _ID_SENTINEL, jnp.int32))
 
     def sphere_body(rows, k):
         cx, cy, cz, r = rows[k, 0], rows[k, 1], rows[k, 2], rows[k, 3]
@@ -139,10 +143,10 @@ def inline_fold(ctx: InlineCtx, ro: V3, rd: V3):
     def pln_step(c, carry):
         return _fold_chunk(ctx, c, carry, plane_body)
 
-    carry = jax.lax.fori_loop(0, ctx.n_sph_chunks, sph_step, init)
-    carry = jax.lax.fori_loop(ctx.n_sph_chunks, ctx.n_chunks, pln_step,
-                              carry)
-    return carry
+    t_b, ob = jax.lax.fori_loop(0, ctx.n_sph_chunks, sph_step, init)
+    t_b, ob = jax.lax.fori_loop(ctx.n_sph_chunks, ctx.n_chunks, pln_step,
+                                (t_b, ob))
+    return t_b, ob, ob != _ID_SENTINEL
 
 
 def _select_rows(ctx: InlineCtx, obj):

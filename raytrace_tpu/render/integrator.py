@@ -176,12 +176,17 @@ def radiance_linear_loop_v(data: SceneData, spec: SceneSpec, ro: V3,
     levels = (spec.max_depth + 2 if spec.children_per_ray == 1 else 1)
     sig = (jnp.ones_like(ro.x) if significance is None
            else jnp.broadcast_to(significance, ro.x.shape).astype(dtype))
-    live = jnp.ones(ro.x.shape, bool)
+    # liveness rides the carry as 0/1 float, not bool: Mosaic cannot
+    # legalize i1 vector loop-carries (scf.for over vector<8x128xi1>
+    # fails to lower on v5e), and this loop body runs inside the
+    # megakernel's fori_loop in the large-scene regime
+    live_f = jnp.ones(ro.x.shape, dtype)
     tp = vec.full_like(sig, 1.0)
     acc = vec.full_like(sig, 0.0)
 
     def body(d, carry):
-        ro, rd, sig, live, tp, k1, k2, acc = carry
+        ro, rd, sig, live_f, tp, k1, k2, acc = carry
+        live = live_f > 0.5
         hit = closest_hit(data, spec, ro, rd)
         emit, children = shade(data, spec, ro, rd, hit, sig, live, k1,
                                k2, d)
@@ -190,14 +195,16 @@ def radiance_linear_loop_v(data: SceneData, spec: SceneSpec, ro: V3,
         acc = acc + vec.where(live, tp.mul(local), vec.full_like(sig, 0.0))
         if children:
             c = children[0]
-            ro, rd, sig, live = c.ro, c.rd, c.sig, c.live
+            ro, rd, sig = c.ro, c.rd, c.sig
+            live_f = jnp.where(c.live, jnp.ones_like(live_f),
+                               jnp.zeros_like(live_f))
             tp = tp.mul(c.weight)
-            tp = vec.where(live, tp, vec.full_like(sig, 0.0))
+            tp = vec.where(c.live, tp, vec.full_like(sig, 0.0))
             k1, k2 = rng.derive(k1, k2, c.slot)
-        return (ro, rd, sig, live, tp, k1, k2, acc)
+        return (ro, rd, sig, live_f, tp, k1, k2, acc)
 
     carry = jax.lax.fori_loop(
-        0, levels, body, (ro, rd, sig, live, tp, k1, k2, acc))
+        0, levels, body, (ro, rd, sig, live_f, tp, k1, k2, acc))
     return carry[-1]
 
 

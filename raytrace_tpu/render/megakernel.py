@@ -58,12 +58,14 @@ from raytrace_tpu.ops.vec import V3
 from raytrace_tpu.scene.schema import BG_SOLID, SceneData, SceneSpec
 
 # lane-block geometry: each grid step processes (BLOCK_ROWS, 128) lanes.
-# Measured on v5e (median chained launches, 2M lanes) with the grid
-# marked parallel: 64 rows -> 6.1-6.9G rays/s, 16/32 -> 6.4G,
-# 128 -> 5.7G, 256+ -> <5G (VMEM pressure hurts grid-step pipelining);
-# under "arbitrary" semantics every size sits at 5.6-5.9G.
+# Measured on v5e (multi-k least-squares chain slope, 2M lanes, golden
+# scene, grid marked parallel; r4 re-sweep after the level-loop +
+# static-fresnel-skip changes): 16 rows -> 6.73-6.93G rays/s,
+# 32 -> 6.49-6.57G, 64 -> 6.15G, 8/24/48 -> 5.6-5.9G, 96+ -> <5.5G.
+# Smaller blocks pipeline better across grid steps until the (8, 128)
+# tile minimum adds padding overhead (8 rows regresses).
 LANE = 128
-BLOCK_ROWS = int(os.environ.get("RAYTRACE_TPU_MEGAKERNEL_ROWS", "64"))
+BLOCK_ROWS = int(os.environ.get("RAYTRACE_TPU_MEGAKERNEL_ROWS", "16"))
 # fan-out (tree-walk) scenes hold each pending sibling's ray state live
 # across the DFS (~11 blocks x depth lanes of f32), so they take smaller
 # blocks to stay within VMEM (32 rows exceeds the 16M scoped-vmem stack
@@ -141,13 +143,18 @@ def _tree_loop_stack_bytes(spec: SceneSpec) -> int:
     return cap * 13 * _tree_block_rows() * LANE * 4
 
 
-# LARGE-scene regime: lane blocks per grid step (the in-kernel fold's
-# material pass keeps 22 live column blocks, so smaller than the small-
-# scene default), and the VMEM budget for the resident primitive +
-# material tables ((rows, 4) + (rows, 22) f32 = 104 B/row -> the default
-# 4 MiB covers ~40k objects)
+# LARGE-scene regime: lane blocks per grid step.  Bigger blocks
+# amortize the fold's per-chunk SCALAR work (SMEM id/bound loads run
+# once per block, not per lane), which dominates as the chunk count
+# grows — measured end-to-end vs the split regime on v5e (r4):
+# 4,108-object field 32 rows -> 0.90x, 64 -> 1.06x, 128 -> pathological
+# (launches slow >25x; the material pass's 22 live column blocks blow
+# VMEM at 128 x 128 lanes); 1,006-object field 16 -> 0.90x,
+# 32 -> 1.29x, 64 -> 1.56x.  64 wins both.  VMEM budget for the
+# resident primitive + material tables ((rows, 4) + (rows, 22) f32 =
+# 104 B/row -> the default 4 MiB covers ~40k objects).
 LARGE_BLOCK_ROWS = int(os.environ.get(
-    "RAYTRACE_TPU_MEGAKERNEL_LARGE_ROWS", "32"))
+    "RAYTRACE_TPU_MEGAKERNEL_LARGE_ROWS", "64"))
 TABLE_VMEM_BUDGET = (int(os.environ["RAYTRACE_TPU_MEGAKERNEL_TABLE_VMEM"])
                      if "RAYTRACE_TPU_MEGAKERNEL_TABLE_VMEM" in os.environ
                      else None)

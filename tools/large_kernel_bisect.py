@@ -1,15 +1,22 @@
 """Compile-cost bisect for the LARGE-scene fused megakernel on TPU.
 
 The r4 large regime (ops/intersect_inline.py) compiles a chunk fold +
-material pass inside the megakernel; its first TPU compile attempt was
-pathological.  This script times each composition stage separately so
-a blowup can be attributed: (a) the bare inline fold in a minimal
-kernel, (b) fold + material pass, (c) the full megakernel in loop
-form.  Run manually:  python tools/large_kernel_bisect.py [n_spheres]
+material pass inside the megakernel; this script times each composition
+stage separately so a blowup can be attributed: (a) the bare inline
+fold in a minimal kernel, (b) fold + material pass, (c) the full
+megakernel in loop form.  Run manually:
+    python tools/large_kernel_bisect.py [n_spheres]
 
-Each stage prints compile + run time; run under a generous timeout and
-do NOT kill mid-compile (a killed remote compile can wedge the device
-tunnel for hours — observed r4).
+Diagnosis it produced (r4): the "pathological compile" was not compile
+COST at all — Mosaic cannot legalize bool (i1) vector loop-carries
+(``scf.for`` over ``vector<8x128xi1>`` fails), which the fold's ``hit``
+carry and radiance_linear_loop_v's ``live`` carry both were.  With the
+carries int/float-ified (intersect_inline._fold_chunk,
+integrator.radiance_linear_loop_v) all three stages compile in 2-5 s.
+Keep this harness for future regressions.
+
+Each stage prints compile + run time; do NOT kill mid-compile (a killed
+remote compile can wedge the device tunnel for minutes — observed r4).
 """
 
 import sys
