@@ -24,7 +24,10 @@ Regimes (run each in its own process — the megakernel gate reads env):
   linear  golden scene, fused megakernel (fan-out <= 1)
   tree    materials_showcase (fan-out 4 -> m=2, 63-node static DFS)
   jnp     golden scene with RAYTRACE_TPU_NO_MEGAKERNEL=1 (XLA wavefront)
-  scan    4096-sphere procedural field (Pallas scan kernel path)
+  scan    4096-sphere field, SPLIT path (Pallas scan-intersect kernel +
+          jnp wavefront shading; megakernel gate forced off)
+  large   4096-sphere field, FUSED path (megakernel with the in-kernel
+          VMEM-table fold, the r4 default for large linear scenes)
 
 Usage: python tools/mfu_report.py <regime>   (on the real TPU)
 """
@@ -55,7 +58,12 @@ def measure(regime: str):
     enable_compile_cache()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-    if regime == "jnp":
+    if regime in ("jnp", "scan"):
+        # scan = the SPLIT fallback (Pallas scan-intersect kernel + jnp
+        # wavefront shading).  Since r4 the fused megakernel covers
+        # large linear scenes too, so isolating the split path needs
+        # the gate forced off (the `large` regime measures the fused
+        # in-kernel fold on the same scene).
         os.environ["RAYTRACE_TPU_NO_MEGAKERNEL"] = "1"
 
     if regime in ("linear", "jnp"):
@@ -69,10 +77,11 @@ def measure(regime: str):
             dtype=jnp.float32)
         spec = sc.spec
         n_pix, n_s = 1 << 15, 4       # 63 intersect rounds/lane
-    elif regime == "scan":
+    elif regime in ("scan", "large"):
         # mix_materials=False keeps the wavefront linear (6 rounds), so
-        # the measurement isolates the Pallas scan-intersect kernel
-        # instead of compounding it with the fan-out tree walk
+        # the measurement isolates the intersector (scan kernel for
+        # `scan`, in-kernel VMEM-table fold for `large`) instead of
+        # compounding it with the fan-out tree walk
         sc = make_sphere_field(4096, mix_materials=False,
                                dtype=jnp.float32)
         spec = sc.spec
@@ -102,22 +111,22 @@ def measure(regime: str):
     # THE measurement methodology lives in bench._measure_slope — one
     # source of truth for bench + audit tools (review finding r3)
     from bench import _measure_slope
-    ks = (2, 4, 8) if regime in ("tree", "scan") else (4, 16, 64)
+    ks = (2, 4, 8) if regime in ("tree", "scan", "large") else (4, 16, 64)
     slope, icpt, _ = _measure_slope(chain, px, py, ks=ks)
 
     # exact ops/lane of the same traced program (megakernel = same trace).
-    # scan regime: count the lax.scan twin of the Pallas scan kernel
+    # scan/large regimes: count the lax.scan twin of the scan kernel
     # (its per-chunk body computes ONE shape branch where the twin
     # computes both, so the kernel's true count is lower — utilization
-    # reported from this count is an upper bound for `scan` only)
-    if regime == "scan":
+    # reported from this count is an upper bound for those regimes)
+    if regime in ("scan", "large"):
         os.environ["RAYTRACE_TPU_NO_INTERSECT_KERNEL"] = "1"
     ids = jnp.zeros(256, jnp.uint32)
     from raytrace_tpu.render.megakernel import _jnp_reference
     jaxpr = jax.make_jaxpr(
         lambda d: _jnp_reference(d, spec, ids, ids, ids, ids, 0))(data)
     ops_lane = sum(count_jaxpr(jaxpr.jaxpr).values()) / 256
-    if regime == "scan":
+    if regime in ("scan", "large"):
         del os.environ["RAYTRACE_TPU_NO_INTERSECT_KERNEL"]
 
     lanes_per_s = lanes / slope
