@@ -100,6 +100,10 @@ def main(argv=None):
                     help="bench an N-sphere procedural field instead of "
                          "the golden scene: fused (VMEM-table megakernel)"
                          " vs split (scan kernel + jnp wavefront) regime")
+    ap.add_argument("--mix", action="store_true",
+                    help="with --large: mixed materials (Transparent/"
+                         "Fresnel/IndirectPhong) => fan-out scene, the "
+                         "stack-DFS loop + in-kernel fold regime (r5)")
     args = ap.parse_args(argv)
 
     import jax
@@ -150,7 +154,7 @@ def main(argv=None):
         from raytrace_tpu.render import megakernel
         from raytrace_tpu.scene.procedural import make_sphere_field
 
-        sc_l = make_sphere_field(args.large, mix_materials=False)
+        sc_l = make_sphere_field(args.large, mix_materials=args.mix)
         data_l, spec_l = sc_l.data, sc_l.spec
         n_obj = sum(1 for t in spec_l.shape_type if t >= 0)
         levels_l = spec_l.max_depth + 2
@@ -174,16 +178,26 @@ def main(argv=None):
         finally:
             del os.environ["RAYTRACE_TPU_NO_MEGAKERNEL"]
         primary = n_pix * n_s * spec_l.cam_samples
+        # intersect rounds per primary sample: the level count for a
+        # linear chain, the virtual-tree node count for fan-out (both
+        # regimes visit the same node set; compaction makes the jnp
+        # wavefront's lane-work identical)
+        if spec_l.children_per_ray > 1:
+            from raytrace_tpu.render.integrator import tree_nodes
+            rounds = tree_nodes(spec_l)
+        else:
+            rounds = levels_l
+        tag = "mix" if args.mix else "linear"
         print(json.dumps({
-            "metric": f"large_scene_fused_vs_split_{n_obj}obj",
-            "value": round(primary * levels_l / t_fused),
+            "metric": f"large_scene_fused_vs_split_{n_obj}obj_{tag}",
+            "value": round(primary * rounds / t_fused),
             "unit": "rays/s",
             "vs_baseline": round(t_split / t_fused, 3),
             "fused_launch_ms": round(t_fused * 1e3, 3),
             "split_launch_ms": round(t_split * 1e3, 3),
             "speedup_fused_over_split": round(t_split / t_fused, 3),
             "obj_tests_per_sec_fused": round(
-                primary * levels_l * n_obj / t_fused),
+                primary * rounds * n_obj / t_fused),
         }))
         return 0
 

@@ -107,14 +107,18 @@ def radiance_linear_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
     2D ``(rows, 128)`` register blocks inside VMEM.
 
     ``miss_records``: when a list is passed, background shading is
-    DEFERRED — miss lanes contribute 0 here and one
-    ``(miss_mask, rd, tp)`` tuple is appended per level.  The megakernel
-    uses this for skybox scenes: the bilinear texture gather cannot run
-    on VMEM blocks inside the kernel (faces exceed VMEM; Mosaic has no
-    per-lane gather), so the kernel emits the per-level miss events and
-    a fused jnp post-pass adds ``tp * skybox(rd)``.  Exact: a lane's
-    per-level contributions are hit-XOR-miss, so deferring the miss
-    terms changes only the order of exact +0 additions.
+    DEFERRED — miss lanes contribute 0 here and ONE merged
+    ``(miss_mask, rd, tp)`` tuple is appended for the whole chain: a
+    live linear-chain lane misses at most once (a missed lane spawns no
+    children — materials.shade gates every slot on ``hit.hit`` — so it
+    is dead at every later level), making the per-lane miss set a
+    single record.  The megakernel uses this for skybox scenes: the
+    bilinear texture gather cannot run on VMEM blocks inside the kernel
+    (faces exceed VMEM; Mosaic has no per-lane gather), so the kernel
+    emits the merged miss event and a fused jnp post-pass adds
+    ``tp * skybox(rd)``.  Exact: a lane's contributions are
+    hit-XOR-miss per level, so deferring the single miss term changes
+    only the order of exact +0 additions.
     """
     dtype = ro.x.dtype
     sig = (jnp.ones_like(ro.x) if significance is None
@@ -122,6 +126,10 @@ def radiance_linear_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
     live = jnp.ones(ro.x.shape, bool)
     tp = vec.full_like(sig, 1.0)
     acc = vec.full_like(sig, 0.0)
+    zero = vec.full_like(sig, 0.0)
+    m_any = jnp.zeros(ro.x.shape, bool)
+    m_rd = zero
+    m_tp = zero
 
     for depth in range(spec.max_depth + 2):
         hit = closest_hit(data, spec, ro, rd)
@@ -133,8 +141,9 @@ def radiance_linear_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
             local = vec.where(hit.hit, emit, bg)
         else:
             miss = live & ~hit.hit
-            miss_records.append((miss, rd, vec.where(miss, tp,
-                                                     vec.full_like(sig, 0.0))))
+            m_any = m_any | miss
+            m_rd = vec.where(miss, rd, m_rd)
+            m_tp = vec.where(miss, tp, m_tp)
             local = vec.where(hit.hit, emit, vec.full_like(sig, 0.0))
         contrib = vec.where(live, tp.mul(local), vec.full_like(sig, 0.0))
         acc = acc + contrib
@@ -147,11 +156,14 @@ def radiance_linear_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
         tp = vec.where(live, tp, vec.full_like(sig, 0.0))
         k1, k2 = rng.derive(k1, k2, c.slot)
 
+    if miss_records is not None:
+        miss_records.append((m_any, m_rd, m_tp))
     return acc
 
 
 def radiance_linear_loop_v(data: SceneData, spec: SceneSpec, ro: V3,
-                           rd: V3, k1, k2, significance=None) -> V3:
+                           rd: V3, k1, k2, significance=None,
+                           miss_records=None) -> V3:
     """:func:`radiance_linear_v` as a ``lax.fori_loop`` over levels —
     O(1) program size in ``max_depth`` (the linear twin of
     :func:`radiance_tree_loop_v`).
@@ -167,9 +179,12 @@ def radiance_linear_loop_v(data: SceneData, spec: SceneSpec, ro: V3,
     draw keeps the exact stream identity of the unrolled chain — the
     two forms agree to FMA-contraction roundoff.
 
-    Solid backgrounds only (deferred skybox miss records are per-level
-    *outputs*, which the loop form cannot statically address); linear
-    scenes only (``children_per_ray <= 1``).
+    Linear scenes only (``children_per_ray <= 1``).  ``miss_records``
+    works exactly as in :func:`radiance_linear_v`: ONE merged
+    ``(miss, rd, tp)`` record for the whole chain (a live linear lane
+    misses at most once), carried through the loop as 0/1 float + two
+    vectors — which is what lets the LARGE skybox regime run the O(1)
+    loop form instead of unrolling the table fold per level.
     """
     assert spec.children_per_ray <= 1
     dtype = ro.x.dtype
@@ -183,15 +198,26 @@ def radiance_linear_loop_v(data: SceneData, spec: SceneSpec, ro: V3,
     live_f = jnp.ones(ro.x.shape, dtype)
     tp = vec.full_like(sig, 1.0)
     acc = vec.full_like(sig, 0.0)
+    zero = vec.full_like(sig, 0.0)
+    defer = miss_records is not None
+    m = (jnp.zeros(ro.x.shape, dtype), zero, zero)  # (miss01, rd, tp)
 
     def body(d, carry):
-        ro, rd, sig, live_f, tp, k1, k2, acc = carry
+        ro, rd, sig, live_f, tp, k1, k2, acc, m = carry
         live = live_f > 0.5
         hit = closest_hit(data, spec, ro, rd)
         emit, children = shade(data, spec, ro, rd, hit, sig, live, k1,
                                k2, d)
-        bg = background_color_v(data, spec, rd)
-        local = vec.where(hit.hit, emit, bg)
+        if defer:
+            miss = live & ~hit.hit
+            m01, mrd, mtp = m
+            m = (jnp.where(miss, 1.0, m01),
+                 vec.where(miss, rd, mrd),
+                 vec.where(miss, tp, mtp))
+            local = vec.where(hit.hit, emit, vec.full_like(sig, 0.0))
+        else:
+            bg = background_color_v(data, spec, rd)
+            local = vec.where(hit.hit, emit, bg)
         acc = acc + vec.where(live, tp.mul(local), vec.full_like(sig, 0.0))
         if children:
             c = children[0]
@@ -201,11 +227,14 @@ def radiance_linear_loop_v(data: SceneData, spec: SceneSpec, ro: V3,
             tp = tp.mul(c.weight)
             tp = vec.where(c.live, tp, vec.full_like(sig, 0.0))
             k1, k2 = rng.derive(k1, k2, c.slot)
-        return (ro, rd, sig, live_f, tp, k1, k2, acc)
+        return (ro, rd, sig, live_f, tp, k1, k2, acc, m)
 
     carry = jax.lax.fori_loop(
-        0, levels, body, (ro, rd, sig, live_f, tp, k1, k2, acc))
-    return carry[-1]
+        0, levels, body, (ro, rd, sig, live_f, tp, k1, k2, acc, m))
+    if defer:
+        m01, mrd, mtp = carry[-1]
+        miss_records.append((m01 > 0.5, mrd, mtp))
+    return carry[-2]
 
 
 def _route_children(children, m: int, tp: V3, k1, k2):
@@ -387,7 +416,8 @@ def tree_loop_stack(spec: SceneSpec):
 
 def radiance_tree_loop_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
                          k1, k2, significance=None,
-                         depth_lookup=None) -> V3:
+                         depth_lookup=None, miss_records=None,
+                         miss_slots: int = 0, overflow_out=None) -> V3:
     """Radiance for fan-out scenes as a stack-based DFS *loop* — the
     O(1)-code-size counterpart of :func:`radiance_tree_v`.
 
@@ -418,6 +448,19 @@ def radiance_tree_loop_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
     the default closes over the schedule as a jnp constant, while the
     Pallas megakernel supplies an SMEM-ref reader (captured array
     constants are not allowed in kernels).
+
+    ``miss_records`` + ``miss_slots=K``: deferred-skybox accumulation.
+    A lane can miss at SEVERAL tree nodes (once per live branch that
+    dies by escaping), and the loop form cannot emit per-node records
+    (n_nodes outputs would explode), so each lane keeps its first K
+    miss events in K bounded slots — slot j takes a lane's j-th miss
+    via a masked select over a per-lane miss counter — appended to
+    ``miss_records`` as K ``(miss, rd, tp)`` tuples.  Zero-throughput
+    misses are skipped (their background term is exactly 0), which is
+    what keeps K small in practice.  Lanes whose miss count exceeds K
+    set the mask appended to ``overflow_out``; the caller must
+    recompute those lanes exactly (megakernel: a lax.cond fallback to
+    this very function with inline backgrounds).
     """
     dtype = ro.x.dtype
     lane_shape = ro.x.shape
@@ -431,6 +474,8 @@ def radiance_tree_loop_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
             else jnp.broadcast_to(significance, lane_shape).astype(dtype))
     one = jnp.ones(lane_shape, dtype)
     zero = jnp.zeros(lane_shape, dtype)
+    defer = miss_records is not None
+    k_slots = miss_slots if defer else 0
 
     def st0(x):
         s = jnp.zeros((cap,) + lane_shape, x.dtype)
@@ -439,14 +484,39 @@ def radiance_tree_loop_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
     stack = tuple(st0(v) for v in tree_loop_entry(
         ro, rd, sig0, V3(one, one, one), one, k1, k2, dtype))
     acc = vec.full_like(zero, 0.0)
+    # K miss slots, each (miss01, rdx, rdy, rdz, tpx, tpy, tpz), plus
+    # the per-lane miss counter (f32 — see the i1 loop-carry note)
+    slots0 = tuple(tuple(zero for _ in range(7)) for _ in range(k_slots))
+    cnt0 = zero
 
     def body(i, carry):
-        acc, sp, st = carry
+        acc, sp, st, slots, cnt = carry
         sp = sp - 1
         pop = [jax.lax.dynamic_index_in_dim(s, sp, 0, keepdims=False)
                for s in st]
         depth = depth_lookup(i)
-        contrib, virt = tree_loop_node(data, spec, m, pop, depth)
+        if defer:
+            contrib, virt, (miss, mrd, mtp) = tree_loop_node(
+                data, spec, m, pop, depth, defer_bg=True)
+            # zero-throughput misses contribute exactly 0 — don't
+            # burn a slot on them
+            eff = miss & ((jnp.abs(mtp.x) + jnp.abs(mtp.y)
+                           + jnp.abs(mtp.z)) > 0)
+            new_slots = []
+            for j, sl in enumerate(slots):
+                take = eff & (cnt == float(j))
+                new_slots.append((
+                    jnp.where(take, 1.0, sl[0]),
+                    jnp.where(take, mrd.x, sl[1]),
+                    jnp.where(take, mrd.y, sl[2]),
+                    jnp.where(take, mrd.z, sl[3]),
+                    jnp.where(take, mtp.x, sl[4]),
+                    jnp.where(take, mtp.y, sl[5]),
+                    jnp.where(take, mtp.z, sl[6])))
+            slots = tuple(new_slots)
+            cnt = cnt + jnp.where(eff, 1.0, 0.0)
+        else:
+            contrib, virt = tree_loop_node(data, spec, m, pop, depth)
         acc2 = acc + contrib
 
         def push(st):
@@ -460,10 +530,16 @@ def radiance_tree_loop_v(data: SceneData, spec: SceneSpec, ro: V3, rd: V3,
 
         interior = depth < levels - 1
         st, sp = jax.lax.cond(interior, push, lambda st: (st, sp), st)
-        return acc2, sp, st
+        return acc2, sp, st, slots, cnt
 
-    acc, _, _ = jax.lax.fori_loop(0, n_nodes, body,
-                                  (acc, jnp.int32(1), stack))
+    acc, _, _, slots, cnt = jax.lax.fori_loop(
+        0, n_nodes, body, (acc, jnp.int32(1), stack, slots0, cnt0))
+    if defer:
+        for sl in slots:
+            miss_records.append((sl[0] > 0.5, V3(sl[1], sl[2], sl[3]),
+                                 V3(sl[4], sl[5], sl[6])))
+        if overflow_out is not None:
+            overflow_out.append(cnt > float(k_slots))
     return acc
 
 
@@ -477,12 +553,18 @@ def tree_loop_entry(ro: V3, rd: V3, sig, tp: V3, live01, k1, k2, dtype):
 
 
 def tree_loop_node(data: SceneData, spec: SceneSpec, m: int, entry,
-                   depth):
+                   depth, defer_bg: bool = False):
     """One DFS node visit — the shared body of the two tree-loop
     drivers.  ``entry`` is a popped 13-tuple (:func:`tree_loop_entry`);
     ``depth`` is a traced scalar.  Returns ``(contrib: V3, virt)`` where
     ``virt`` is a list of m packed child entries (dead children carry
-    live = 0 and zero throughput)."""
+    live = 0 and zero throughput).
+
+    ``defer_bg``: miss lanes contribute 0 and the return gains a third
+    element ``(miss: bool, rd: V3, tp: V3)`` — this visit's background
+    event, for the K-slot deferred-skybox accumulation of the loop
+    drivers (the in-kernel bilinear gather is impossible; see
+    :func:`radiance_linear_v`)."""
     dtype = entry[0].dtype
     ro = V3(entry[0], entry[1], entry[2])
     rd = V3(entry[3], entry[4], entry[5])
@@ -494,8 +576,14 @@ def tree_loop_node(data: SceneData, spec: SceneSpec, m: int, entry,
     hit = closest_hit(data, spec, ro, rd)
     emit, children = shade(data, spec, ro, rd, hit, sig, live, k1, k2,
                            depth)
-    bg = background_color_v(data, spec, rd)
-    local = vec.where(hit.hit, emit, bg)
+    if defer_bg:
+        miss = live & ~hit.hit
+        miss_info = (miss, rd, vec.where(miss, tp,
+                                         vec.full_like(sig, 0.0)))
+        local = vec.where(hit.hit, emit, vec.full_like(sig, 0.0))
+    else:
+        bg = background_color_v(data, spec, rd)
+        local = vec.where(hit.hit, emit, bg)
     contrib = vec.where(live, tp.mul(local), vec.full_like(sig, 0.0))
 
     if len(children) > m:
@@ -509,6 +597,8 @@ def tree_loop_node(data: SceneData, spec: SceneSpec, m: int, entry,
         packed.append(tree_loop_entry(
             cro, crd, csig, ctp, jnp.where(clive, 1.0, 0.0).astype(dtype),
             ck1, ck2, dtype))
+    if defer_bg:
+        return contrib, packed, miss_info
     return contrib, packed
 
 

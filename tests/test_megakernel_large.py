@@ -49,9 +49,14 @@ def test_usable_past_threshold(interpret_env):
     assert n_live > LARGE_SCENE_THRESHOLD
     assert sc.spec.children_per_ray <= 1
     assert megakernel.usable(sc.data, sc.spec)
-    # fan-out large scenes still fall back
+    # fan-out large scenes run fused too (r5): the stack-DFS loop with
+    # the in-kernel fold in its node body (VERDICT r4 missing #1)
+    from raytrace_tpu.render.integrator import radiance_tree_loop_v
+
     sc_mix = make_sphere_field(100, mix_materials=True)
-    assert not megakernel.usable(sc_mix.data, sc_mix.spec)
+    assert sc_mix.spec.children_per_ray > 1
+    assert megakernel.usable(sc_mix.data, sc_mix.spec)
+    assert megakernel._radiance_fn(sc_mix.spec) is radiance_tree_loop_v
 
 
 def test_large_linear_parity_mc(interpret_env, monkeypatch):
@@ -72,6 +77,73 @@ def test_large_linear_parity_mc(interpret_env, monkeypatch):
     assert close.mean() > 0.95, f"lane agreement {close.mean():.3f}"
     assert abs(got.mean() - want.mean()) < 0.02 * (abs(want.mean()) + 1)
     assert np.abs(got).max() > 0
+
+
+def test_large_fanout_parity_mc(interpret_env, monkeypatch):
+    """Fused large FAN-OUT render (stack-DFS loop + in-kernel fold) ==
+    jnp wavefront render on the mixed-material field (Transparent,
+    Fresnel, IndirectPhong, Phong past the 64-object threshold —
+    VERDICT r4 missing #1).  Same 1-ulp caveat as the linear MC test:
+    program differences can flip a rare grazing/hemisphere branch, so
+    assert near-total lane agreement + mean agreement."""
+    sc = _shallow(make_sphere_field(100, mix_materials=True), 1)
+    assert sc.spec.children_per_ray > 1
+    assert megakernel.usable(sc.data, sc.spec)
+    got = _render_lanes(sc, n_pix=64)
+    monkeypatch.setenv("RAYTRACE_TPU_NO_MEGAKERNEL", "1")
+    assert not megakernel.usable(sc.data, sc.spec)
+    want = _render_lanes(sc, n_pix=64)
+    close = np.isclose(got, want, rtol=1e-5, atol=1e-6)
+    assert close.mean() > 0.95, f"lane agreement {close.mean():.3f}"
+    assert abs(got.mean() - want.mean()) < 0.02 * (abs(want.mean()) + 1)
+    assert np.abs(got).max() > 0
+
+
+def _transparent_field_scene(n=70, cam_dir="(0, -0.2, -1)"):
+    """A deterministic fan-out field (> threshold): transparent spheres
+    (reflect + refract, 2 live children) over a lit Phong floor — no
+    Monte-Carlo anywhere, so fused-vs-jnp parity is tight."""
+    objs = ["""
+    { bounds: Plane { point: (0, -2, 0) normal: (0, 1, 0) }
+      material: PhongMaterial { diffuse: rgb(0.6, 0.55, 0.5)
+        specular: rgb(0,0,0) exponent: 1 ambient: rgb(0.02,0.02,0.02) } }"""]
+    rng = np.random.RandomState(11)
+    for _ in range(n):
+        c = rng.uniform(-8, 8, 3) + [0, 1, -14]
+        objs.append(f"""
+    {{ bounds: Sphere {{ center: ({c[0]:.2f}, {c[1]:.2f}, {c[2]:.2f})
+         radius: {rng.uniform(0.3, 0.8):.2f} }}
+      material: TransparentMaterial {{ specular: rgb(0.9, 0.9, 0.9)
+        exponent: 32 ior: {rng.uniform(1.1, 1.8):.2f} }} }}""")
+    src = f"""{{
+      objects: [ {''.join(objs)} ]
+      lights: [
+        {{ model: PointLight {{ location: (0, 10, 0) }}
+           color: rgb(80, 75, 70) }}
+      ]
+      camera: SimplePerspectiveCamera new(
+          (0, 2, 6), {cam_dir}, (0, 1, 0), 2.0)
+      background: SolidColorBackground {{ color: rgb(0.02, 0.02, 0.04) }}
+      options: {{ width: 32 height: 3 antialias: 1 }}
+    }}"""
+    return build_scene(dsl.parse(src), dtype=jnp.float32)
+
+
+def test_large_fanout_deterministic_parity(interpret_env, monkeypatch):
+    """Deterministic transparent field: away from grazing/TIR
+    silhouettes radiance is continuous in the fold's 1-ulp program
+    differences, so nearly every lane agrees tightly."""
+    sc = _shallow(_transparent_field_scene(), 1)
+    assert sum(1 for t in sc.spec.shape_type if t >= 0) > \
+        LARGE_SCENE_THRESHOLD
+    assert sc.spec.children_per_ray > 1
+    assert megakernel.usable(sc.data, sc.spec)
+    got = _render_lanes(sc, n_pix=48, n_s=1)
+    monkeypatch.setenv("RAYTRACE_TPU_NO_MEGAKERNEL", "1")
+    want = _render_lanes(sc, n_pix=48, n_s=1)
+    close = np.isclose(got, want, rtol=1e-5, atol=1e-6)
+    assert close.mean() > 0.97, f"lane agreement {close.mean():.3f}"
+    np.testing.assert_allclose(got.mean(), want.mean(), rtol=1e-3)
 
 
 def test_large_no_cull_identical(interpret_env, monkeypatch):
@@ -160,8 +232,9 @@ def test_large_grad_matches_jnp(interpret_env, monkeypatch):
 
 def test_large_skybox_parity(interpret_env, monkeypatch):
     """Large (>64 objects) + skybox linear: the in-kernel table fold
-    composes with the deferred-miss post-pass (unrolled chain — the
-    loop form cannot statically address per-level record outputs)."""
+    composes with the deferred-miss post-pass — via the O(1) loop form
+    carrying ONE merged miss record (r5; a live linear lane misses at
+    most once, so per-level records were redundant)."""
     import dataclasses
 
     from raytrace_tpu.scene.schema import BG_SKYBOX
@@ -181,3 +254,47 @@ def test_large_skybox_parity(interpret_env, monkeypatch):
     close = np.isclose(got, want, rtol=1e-5, atol=1e-6)
     assert close.mean() > 0.95, f"lane agreement {close.mean():.3f}"
     assert abs(got.mean() - want.mean()) < 0.02 * (abs(want.mean()) + 1)
+
+
+def test_large_fanout_skybox_parity(interpret_env, monkeypatch):
+    """Large fan-out + skybox: the stack-DFS loop regime with the
+    in-kernel fold AND the K-slot deferred-miss encoding compose
+    (VERDICT r4 missing #1 x #2 in one scene).  The transparent field
+    is OPEN (one floor plane), so upward branches really escape — the
+    skybox records must carry real radiance or parity fails (the
+    Cornell-style sphere field is enclosed by infinite planes and never
+    misses, which would make this test vacuous)."""
+    import dataclasses
+
+    from raytrace_tpu.render.integrator import radiance_tree_loop_v
+    from raytrace_tpu.render.megakernel import _radiance_fn
+    from raytrace_tpu.scene.schema import BG_SKYBOX
+
+    # camera aimed UP so rays actually escape past the sphere field
+    # (the default down-tilt buries the sampled bottom rows in the
+    # infinite floor and no miss ever happens)
+    sc = _shallow(_transparent_field_scene(cam_dir="(0, 0.25, -1)"), 1)
+    rng = np.random.RandomState(29)
+    cube = rng.rand(6, 4, 4, 3).astype(np.float32)
+    sc = dataclasses.replace(
+        sc,
+        data=dataclasses.replace(sc.data, bg_cube=jnp.asarray(cube)),
+        spec=dataclasses.replace(sc.spec, bg_type=BG_SKYBOX,
+                                 face_sizes=((4, 4),) * 6))
+    assert sc.spec.children_per_ray > 1
+    assert _radiance_fn(sc.spec) is radiance_tree_loop_v
+    assert megakernel.usable(sc.data, sc.spec)
+    got = _render_lanes(sc, n_pix=64, n_s=1)
+    monkeypatch.setenv("RAYTRACE_TPU_NO_MEGAKERNEL", "1")
+    want = _render_lanes(sc, n_pix=64, n_s=1)
+    monkeypatch.delenv("RAYTRACE_TPU_NO_MEGAKERNEL")
+    close = np.isclose(got, want, rtol=1e-5, atol=1e-6)
+    assert close.mean() > 0.95, f"lane agreement {close.mean():.3f}"
+    assert abs(got.mean() - want.mean()) < 0.02 * (abs(want.mean()) + 1)
+    # the skybox must actually contribute through the deferred records:
+    # the same scene with a solid background must differ
+    solid = dataclasses.replace(
+        sc, spec=dataclasses.replace(sc.spec, bg_type=0,
+                                     face_sizes=((1, 1),) * 6))
+    got_solid = _render_lanes(solid, n_pix=64, n_s=1)
+    assert np.abs(got - got_solid).max() > 0.01
