@@ -37,10 +37,15 @@ Design notes:
   from SMEM scalars; past ``LARGE_SCENE_THRESHOLD`` objects the
   primitive + material tables ride VMEM and closest-hit becomes the
   in-kernel chunk fold of :mod:`raytrace_tpu.ops.intersect_inline`
-  (chunk culling included), so a 100-10,000-object scene keeps fused
-  28 B/lane shading instead of dropping to the HBM-bound jnp wavefront.
-  Fan-out *small* scenes run as static DFS / stack-DFS loops; fan-out
-  large scenes, skybox x fan-out, and f64 fall back to the jnp path.
+  (chunk culling + dynamic-gather material resolve), so a
+  100-10,000-object scene keeps fused 28 B/lane shading instead of
+  dropping to the HBM-bound jnp wavefront.  Fan-out scenes run as the
+  static DFS (small trees) or the stack-DFS loop — which composes with
+  the large regime (the fold runs inside the loop's node body, r5) —
+  and skybox backgrounds compose with all of it via deferred-miss
+  records (merged / per-node / K-slot, see ``_n_miss_records``).  Only
+  f64, VMEM-budget overflows (logged), and object-sharded ring renders
+  fall back to the jnp path.
 """
 
 from __future__ import annotations
@@ -174,21 +179,30 @@ LARGE_BLOCK_ROWS = int(os.environ.get(
 # fold.  Block rows trade the fold's per-chunk scalar amortization
 # (wants big blocks, like LARGE_BLOCK_ROWS) against the DFS stack's
 # VMEM footprint (cap x 13 x rows x 128 x 4 B, which shares VMEM with
-# the resident tables).  Measured end-to-end on v5e (100-object mixed-
-# material field, m=2 tree): 32 rows edges 16 by ~4%; 64 blows the
-# scoped-VMEM budget for deep stacks.  None = derive from the TPU
-# generation; env override wins.
+# the resident tables).  Measured end-to-end on v5e (1,006-object
+# mixed field, m=2 / cap-6 tree, 256k lanes): 64 rows -> 81.1 ms,
+# 32 -> 88.1, 16 -> 113.9 — bigger blocks win while the stack fits,
+# so the default picks the LARGEST of 64/32/16 whose stack stays
+# within the loop VMEM budget (deep m=4 / cap-16 stacks step down
+# automatically).  None = adaptive; env override wins.
 LARGE_TREE_BLOCK_ROWS = (
     int(os.environ["RAYTRACE_TPU_MEGAKERNEL_LARGE_TREE_ROWS"])
     if "RAYTRACE_TPU_MEGAKERNEL_LARGE_TREE_ROWS" in os.environ
     else None)
 
 
-def _large_tree_block_rows() -> int:
+def _large_tree_block_rows(spec: SceneSpec | None = None) -> int:
     if LARGE_TREE_BLOCK_ROWS is not None:
         return LARGE_TREE_BLOCK_ROWS
     from raytrace_tpu.utils.tpu_info import vmem_scale
-    return 32 * vmem_scale()
+    scale = vmem_scale()
+    if spec is None:
+        return 64 * scale
+    budget = _tree_loop_vmem_budget()
+    for rows in (64 * scale, 32 * scale, 16 * scale):
+        if _tree_loop_stack_bytes(spec, rows) <= budget:
+            return rows
+    return 16 * scale
 TABLE_VMEM_BUDGET = (int(os.environ["RAYTRACE_TPU_MEGAKERNEL_TABLE_VMEM"])
                      if "RAYTRACE_TPU_MEGAKERNEL_TABLE_VMEM" in os.environ
                      else None)
@@ -246,7 +260,7 @@ def usable(data: SceneData, spec: SceneSpec) -> bool:
         # VMEM between the tables and the DFS stack.
         table_ok = _table_rows(spec) * 26 * 4 <= _table_vmem_budget()
         stack_ok = (spec.children_per_ray <= 1
-                    or _tree_loop_stack_bytes(spec, _large_tree_block_rows())
+                    or _tree_loop_stack_bytes(spec, _large_tree_block_rows(spec))
                     <= _tree_loop_vmem_budget())
         if not table_ok:
             _log_regime(
@@ -259,7 +273,7 @@ def usable(data: SceneData, spec: SceneSpec) -> bool:
             _log_regime(
                 ("stack", n_live, spec.children_per_ray),
                 f"large fan-out scene ({n_live} objects): DFS stack "
-                f"({_tree_loop_stack_bytes(spec, _large_tree_block_rows())}"
+                f"({_tree_loop_stack_bytes(spec, _large_tree_block_rows(spec))}"
                 f" B) exceeds the loop VMEM budget — falling back to the "
                 f"split regime")
         size_ok = table_ok and stack_ok
@@ -419,8 +433,13 @@ def _kernel(params_ref, sched_ref, *rest, spec: SceneSpec, seed: int,
         from raytrace_tpu.ops.intersect_inline import InlineCtx
         (tab_ref, mat_ref, ids_ref, rng_ref, bnd_ref,
          pix_ref, piy_ref, aa_ref, cam_ref, *outs) = rest
-        ctx = InlineCtx(tab_ref, mat_ref, ids_ref, rng_ref, bnd_ref,
-                        **large_meta)
+        meta = dict(large_meta)
+        if meta.pop("use_gather"):
+            ctx = InlineCtx(tab_ref, None, ids_ref, rng_ref, bnd_ref,
+                            matT_ref=mat_ref, **meta)
+        else:
+            ctx = InlineCtx(tab_ref, mat_ref, ids_ref, rng_ref, bnd_ref,
+                            **meta)
     else:
         pix_ref, piy_ref, aa_ref, cam_ref, *outs = rest
         ctx = None
@@ -648,7 +667,7 @@ def _radiance_lanes_fwd_kernel(data: SceneData, spec: SceneSpec, pix, piy,
     large = n_live > LARGE_SCENE_THRESHOLD
     block_rows = (
         (LARGE_BLOCK_ROWS if spec.children_per_ray <= 1
-         else _large_tree_block_rows()) if large
+         else _large_tree_block_rows(spec)) if large
         else BLOCK_ROWS if spec.children_per_ray <= 1
         else _tree_block_rows())
     n = pix.shape[0]
@@ -682,7 +701,24 @@ def _radiance_lanes_fwd_kernel(data: SceneData, spec: SceneSpec, pix, piy,
         # (pad rows borrow object 0's row; never selected — ids -1)
         mat_rows = jnp.take(mat, jnp.maximum(idmap, 0),
                             axis=0).astype(jnp.float32)
-        large_inputs = [table.astype(jnp.float32), mat_rows,
+        use_gather = not _env_flag("RAYTRACE_TPU_NO_GATHER_RESOLVE")
+        if use_gather:
+            # transposed (22, R128) table for the dynamic-gather
+            # resolve (intersect_inline._select_rows_gather); same
+            # bytes as the row-aligned layout it replaces
+            n_rows = table.shape[0]
+            n_rows_pad = -(-n_rows // LANE) * LANE
+            mat_in = jnp.zeros((mat_rows.shape[1], n_rows_pad),
+                               jnp.float32).at[:, :n_rows].set(mat_rows.T)
+            # miss lanes resolve gid 0's packed row (gid 0 heads its
+            # type partition; a dead object 0 falls back to row 0 —
+            # miss-lane values are masked out of shading either way)
+            from raytrace_tpu.scene.schema import SHAPE_PLANE
+            row0 = (n_sph_pad if spec.shape_type
+                    and spec.shape_type[0] == SHAPE_PLANE else 0)
+        else:
+            mat_in, n_rows_pad, row0 = mat_rows, 0, 0
+        large_inputs = [table.astype(jnp.float32), mat_in,
                         idmap.reshape(n_chunks, ck),
                         ii.chunk_id_ranges(idmap, ck), bounds]
         large_specs = [
@@ -694,7 +730,9 @@ def _radiance_lanes_fwd_kernel(data: SceneData, spec: SceneSpec, pix, piy,
         ]
         large_meta = dict(chunk=ck, n_sph_chunks=n_sph_pad // ck,
                           n_chunks=n_chunks,
-                          cull=not _env_flag("RAYTRACE_TPU_NO_CULL"))
+                          cull=not _env_flag("RAYTRACE_TPU_NO_CULL"),
+                          use_gather=use_gather, row0=row0,
+                          n_rows_pad=n_rows_pad)
     else:
         large_inputs, large_specs, large_meta = [], [], None
 

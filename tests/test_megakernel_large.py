@@ -298,3 +298,16 @@ def test_large_fanout_skybox_parity(interpret_env, monkeypatch):
                                      face_sizes=((1, 1),) * 6))
     got_solid = _render_lanes(solid, n_pix=64, n_s=1)
     assert np.abs(got - got_solid).max() > 0.01
+
+
+def test_gather_resolve_bit_identical(interpret_env, monkeypatch):
+    """The dynamic-gather material resolve (r5,
+    intersect_inline._select_rows_gather) selects the exact same rows
+    as the compare resolve — renders must be BIT-identical, since no
+    arithmetic differs, only the lookup mechanism."""
+    sc = _shallow(make_sphere_field(100, mix_materials=True), 1)
+    assert megakernel.usable(sc.data, sc.spec)
+    got = _render_lanes(sc, n_pix=64)
+    monkeypatch.setenv("RAYTRACE_TPU_NO_GATHER_RESOLVE", "1")
+    want = _render_lanes(sc, n_pix=64)
+    np.testing.assert_array_equal(got, want)

@@ -90,8 +90,8 @@ def main():
                o_o, h_o):
         ctx = ii.InlineCtx(tab_ref=tab, mat_ref=None, ids_ref=ids,
                            rng_ref=rngs, bnd_ref=bnd, **meta)
-        t, o, h = ii.inline_fold(ctx, V3(rox[...], roy[...], roz[...]),
-                                 V3(rdx[...], rdy[...], rdz[...]))
+        t, o, _, h = ii.inline_fold(ctx, V3(rox[...], roy[...], roz[...]),
+                                    V3(rdx[...], rdy[...], rdz[...]))
         t_o[...] = t
         o_o[...] = o
         h_o[...] = h.astype(jnp.int32)
