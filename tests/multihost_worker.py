@@ -16,10 +16,14 @@ def main():
     coord, n_proc, pid, outdir = sys.argv[1:5]
 
     # CPU backend with 2 virtual devices per process — set BEFORE jax
-    # is first imported/initialized (conftest does the same dance)
+    # is first imported/initialized (conftest does the same dance).
+    # The optimization level must MATCH the parent suite's conftest:
+    # different levels make different FMA/fusion choices and break the
+    # bit-identity assertion against the in-process reference render.
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=2").strip()
+        + " --xla_force_host_platform_device_count=2"
+        + " --xla_backend_optimization_level=0").strip()
     # the CLI's env protocol (parallel.mesh.maybe_init_distributed)
     os.environ["RAYTRACE_TPU_COORDINATOR"] = coord
     os.environ["RAYTRACE_TPU_NUM_PROCESSES"] = n_proc
@@ -51,10 +55,11 @@ def main():
     ref = os.environ.get("RAYTRACE_TPU_REFERENCE_DIR", "/root/reference")
     base = load_scene_file(os.path.join(ref, "test_scene.txt"),
                            dtype=jnp.float32)
-    # (8, 8): the aligned geometry; (9, 7): odd W and H with pad rows —
-    # whole-row sharding must render ANY (W, H, process x device)
-    # combination (VERDICT r4 missing #3)
-    for w, h in ((8, 8), (9, 7)):
+    # (9, 7): odd W and H with pad rows — whole-row sharding must
+    # render ANY (W, H, process x device) combination (VERDICT r4
+    # missing #3; odd strictly generalizes the aligned case, and the
+    # single-process odd-geometry test covers more shapes cheaply)
+    for w, h in ((9, 7),):
         sc = dataclasses.replace(
             base, spec=dataclasses.replace(base.spec, width=w, height=h))
         row_lo, row_hi, band = render_rows_multihost(sc, seed=3, spp=2)

@@ -134,6 +134,7 @@ def test_depth_of_field_camera():
     _compare(sc)
 
 
+@pytest.mark.slow
 def test_compaction_bit_identical(monkeypatch):
     """Wavefront compaction (B slots -> m live lanes per parent) must
     not change a single bit: RNG keys are derived pre-compaction and

@@ -129,8 +129,10 @@ def _transparent_field_scene(n=70, cam_dir="(0, -0.2, -1)"):
     return build_scene(dsl.parse(src), dtype=jnp.float32)
 
 
+@pytest.mark.slow
 def test_large_fanout_deterministic_parity(interpret_env, monkeypatch):
-    """Deterministic transparent field: away from grazing/TIR
+    """[slow tier — fast twin: test_large_fanout_parity_mc exercises
+    the same fused stack-DFS + fold regime.]  Deterministic transparent field: away from grazing/TIR
     silhouettes radiance is continuous in the fold's 1-ulp program
     differences, so nearly every lane agrees tightly."""
     sc = _shallow(_transparent_field_scene(), 1)
@@ -146,8 +148,11 @@ def test_large_fanout_deterministic_parity(interpret_env, monkeypatch):
     np.testing.assert_allclose(got.mean(), want.mean(), rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_large_no_cull_identical(interpret_env, monkeypatch):
-    """In-kernel chunk culling is output-invariant in the full fused
+    """[slow tier — fast twin: the scan-kernel cull invariance test in
+    test_intersect_pallas.py covers the same bound test + slack.]
+    In-kernel chunk culling is output-invariant in the full fused
     pipeline, not just the isolated fold — bit-for-bit, because both
     runs are the SAME program modulo the cull cond."""
     sc = _shallow(make_sphere_field(80, mix_materials=False), 0)
@@ -207,8 +212,11 @@ def test_large_with_lights_shadows_parity(interpret_env, monkeypatch):
     assert want.std() > 0.01
 
 
+@pytest.mark.slow
 def test_large_grad_matches_jnp(interpret_env, monkeypatch):
-    """jax.grad through the fused large path (custom VJP re-traces the
+    """[slow tier — fast twin: test_megakernel.test_grad_through_megakernel
+    exercises the same custom-VJP mechanism on a small scene.]
+    jax.grad through the fused large path (custom VJP re-traces the
     jnp wavefront) == grad of the jnp path directly.  Deterministic
     scene: gradients of an MC scene would inherit the measure-zero
     branch flips of the forward."""
@@ -230,7 +238,11 @@ def test_large_grad_matches_jnp(interpret_env, monkeypatch):
     assert float(jnp.max(jnp.abs(g_fused.prim_p))) > 0
 
 
+@pytest.mark.slow
 def test_large_skybox_parity(interpret_env, monkeypatch):
+    # [slow tier — fast twins: test_skybox_deferred_parity /
+    # test_skybox_no_fanout_parity cover the merged-record mechanism;
+    # test_large_fanout_skybox_parity covers large x skybox]
     """Large (>64 objects) + skybox linear: the in-kernel table fold
     composes with the deferred-miss post-pass — via the O(1) loop form
     carrying ONE merged miss record (r5; a live linear lane misses at
@@ -256,6 +268,33 @@ def test_large_skybox_parity(interpret_env, monkeypatch):
     assert abs(got.mean() - want.mean()) < 0.02 * (abs(want.mean()) + 1)
 
 
+def test_large_fanout_skybox_smoke(interpret_env):
+    """Fast smoke of the large x fan-out x skybox composition: ONE
+    fused compile, asserting the regime engages and produces finite
+    nonzero radiance.  The full three-program parity (fused vs jnp vs
+    solid-background difference) is the @slow twin below."""
+    import dataclasses
+
+    from raytrace_tpu.render.integrator import radiance_tree_loop_v
+    from raytrace_tpu.render.megakernel import _radiance_fn
+    from raytrace_tpu.scene.schema import BG_SKYBOX
+
+    sc = _shallow(_transparent_field_scene(cam_dir="(0, 0.25, -1)"), 1)
+    rng = np.random.RandomState(29)
+    cube = rng.rand(6, 4, 4, 3).astype(np.float32)
+    sc = dataclasses.replace(
+        sc,
+        data=dataclasses.replace(sc.data, bg_cube=jnp.asarray(cube)),
+        spec=dataclasses.replace(sc.spec, bg_type=BG_SKYBOX,
+                                 face_sizes=((4, 4),) * 6))
+    assert sc.spec.children_per_ray > 1
+    assert _radiance_fn(sc.spec) is radiance_tree_loop_v
+    assert megakernel.usable(sc.data, sc.spec)
+    got = _render_lanes(sc, n_pix=64, n_s=1)
+    assert np.isfinite(got).all() and np.abs(got).max() > 0
+
+
+@pytest.mark.slow
 def test_large_fanout_skybox_parity(interpret_env, monkeypatch):
     """Large fan-out + skybox: the stack-DFS loop regime with the
     in-kernel fold AND the K-slot deferred-miss encoding compose
@@ -296,8 +335,9 @@ def test_large_fanout_skybox_parity(interpret_env, monkeypatch):
     solid = dataclasses.replace(
         sc, spec=dataclasses.replace(sc.spec, bg_type=0,
                                      face_sizes=((1, 1),) * 6))
+    monkeypatch.setenv("RAYTRACE_TPU_NO_MEGAKERNEL", "1")  # cheap jnp ref
     got_solid = _render_lanes(solid, n_pix=64, n_s=1)
-    assert np.abs(got - got_solid).max() > 0.01
+    assert np.abs(want - got_solid).max() > 0.01
 
 
 def test_gather_resolve_bit_identical(interpret_env, monkeypatch):
@@ -305,7 +345,9 @@ def test_gather_resolve_bit_identical(interpret_env, monkeypatch):
     intersect_inline._select_rows_gather) selects the exact same rows
     as the compare resolve — renders must be BIT-identical, since no
     arithmetic differs, only the lookup mechanism."""
-    sc = _shallow(make_sphere_field(100, mix_materials=True), 1)
+    # linear field: the resolve mechanism is identical in every large
+    # regime, and the linear chain compiles ~3x faster in interpret mode
+    sc = _shallow(make_sphere_field(100, mix_materials=False), 1)
     assert megakernel.usable(sc.data, sc.spec)
     got = _render_lanes(sc, n_pix=64)
     monkeypatch.setenv("RAYTRACE_TPU_NO_GATHER_RESOLVE", "1")

@@ -28,8 +28,13 @@ from conftest import reference_path, repo_path
 
 SCENES = [
     str(reference_path("test_scene.txt")),      # indirect-only golden
-    str(repo_path("examples", "materials_showcase.txt")),  # all materials
-    str(repo_path("examples", "cornell_indirect.txt")),
+    # all-materials showcase: the slowest eager debug_nans run — slow
+    # tier (golden + cornell keep every NaN-prone path reachable fast)
+    pytest.param(str(repo_path("examples", "materials_showcase.txt")),
+                 marks=pytest.mark.slow),
+    # cornell overlaps the golden scene's NaN surface — slow tier
+    pytest.param(str(repo_path("examples", "cornell_indirect.txt")),
+                 marks=pytest.mark.slow),
 ]
 
 

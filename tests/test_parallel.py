@@ -6,6 +6,7 @@ psum'd sharded gradients must equal unsharded gradients.
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -27,6 +28,7 @@ def _scene(w=16, h=16, dtype=jnp.float64):
         sc, spec=dataclasses.replace(sc.spec, width=w, height=h))
 
 
+@pytest.mark.slow
 def test_sharded_render_bit_identical():
     sc = _scene()
     a = render_image(sc, seed=5, spp=4)
@@ -34,7 +36,10 @@ def test_sharded_render_bit_identical():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_sharded_render_2d_mesh():
+    # [slow tier — fast twin: the driver's dryrun_multichip executes the
+    # full sharded step on a 2-axis ('dcn','ici') mesh every round]
     sc = _scene()
     mesh = make_mesh_2d(n_dcn=2)
     assert dict(mesh.shape) == {"dcn": 2, "ici": 4}
@@ -51,6 +56,7 @@ def test_sharded_render_nondivisible_pixels():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_sharded_grads_match_psum():
     # max_depth=1 keeps grad-sync semantics while cutting the unrolled
     # program (and its shard_map-AD compile, the suite's worst cost) 3x

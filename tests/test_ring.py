@@ -1,6 +1,7 @@
 """Ring-sharded intersection vs the dense single-device result."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from raytrace_tpu.ops import vec
@@ -42,7 +43,10 @@ def test_ring_empty_miss_rays():
     assert (np.asarray(t) == np.inf).all()
 
 
+@pytest.mark.slow
 def test_scan_hit_kernel_inside_ring_interpret(monkeypatch):
+    # [slow tier — fast twin: test_ring_matches_dense covers the ring
+    # protocol; the Pallas scan kernel has its own parity tests]
     """The Pallas scan kernel composed with shard_map + ppermute — the
     exact composition the TPU path runs — exercised in interpret mode
     on the 8-virtual-device mesh (f32 so ip.usable() is True)."""
@@ -69,7 +73,10 @@ def test_scan_hit_kernel_inside_ring_interpret(monkeypatch):
                                rtol=2e-6)
 
 
+@pytest.mark.slow
 def test_render_image_ring_matches_dense():
+    # [slow tier — fast twin: test_ring_matches_dense covers the ring
+    # protocol; the CLI --shard-objects test covers the driver wiring]
     """End-to-end object-sharded render through the public API: the
     huge-scene path (geometry + material tables ring-sharded over the
     mesh) must be bit-identical to the dense single-device render
@@ -84,7 +91,9 @@ def test_render_image_ring_matches_dense():
     np.testing.assert_array_equal(np.asarray(ring), np.asarray(dense))
 
 
+@pytest.mark.slow
 def test_render_image_ring_materials_and_lights():
+    # [slow tier — fast twin: test_render_image_ring_matches_dense]
     """Ring render with all four material kinds (reflect/refract fan-out
     + shadow queries through ring_occluded) matches dense."""
     from raytrace_tpu.parallel.ring import render_image_ring

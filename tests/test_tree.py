@@ -42,6 +42,7 @@ def _depth(sc, d):
         sc, spec=dataclasses.replace(sc.spec, max_depth=d))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("scene_file", [SHOWCASE, CORNELL])
 def test_tree_matches_wavefront_f64(scene_file):
     """DFS tree == lane-compacted wavefront at f64 roundoff, across all
@@ -59,6 +60,7 @@ def test_tree_matches_wavefront_f64(scene_file):
                                    rtol=1e-12, atol=1e-14)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("scene_file", [SHOWCASE, CORNELL])
 def test_tree_loop_matches_wavefront_f64(scene_file):
     """Stack-DFS loop (radiance_tree_loop_v) == wavefront at f64
