@@ -17,13 +17,13 @@ def main():
 
     # CPU backend with 2 virtual devices per process — set BEFORE jax
     # is first imported/initialized (conftest does the same dance).
-    # The optimization level must MATCH the parent suite's conftest:
-    # different levels make different FMA/fusion choices and break the
-    # bit-identity assertion against the in-process reference render.
+    # The XLA optimization level must MATCH the parent suite's (both at
+    # the default here): different levels make different FMA/fusion
+    # choices and break the bit-identity assertion against the
+    # in-process reference render (observed with opt 0 vs default).
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=2"
-        + " --xla_backend_optimization_level=0").strip()
+        + " --xla_force_host_platform_device_count=2").strip()
     # the CLI's env protocol (parallel.mesh.maybe_init_distributed)
     os.environ["RAYTRACE_TPU_COORDINATOR"] = coord
     os.environ["RAYTRACE_TPU_NUM_PROCESSES"] = n_proc
